@@ -1,0 +1,149 @@
+"""Plaintext-type polynomial encodings: Signed / Unsigned64 / Unsigned256 /
+Fractional<64>.
+
+Parity target: sunscreen's BFV plaintext types (used throughout
+``/root/reference/src/fhe.rs``; byte-level outputs at fhe.rs:688-699 are the
+big-endian scalars of ``pack.rs:47-104``).  The encodings are the standard
+sunscreen ones:
+
+* Unsigned/Signed: binary digit i of |v| at coefficient i; negative values
+  negate every coefficient mod t (signed-digit representation).
+* Fractional<64>: integer bit i (0 <= i < 64) at coefficient i; fractional bit
+  2^-j at coefficient n-j with a negated coefficient, exploiting x^n = -1.
+
+Decoding interprets each coefficient as a *centered* residue in
+(-t/2, t/2] and composes exactly with big ints / Fractions, so values that
+grew through homomorphic ops (carries beyond one bit per digit) decode
+correctly; out-of-range results raise Overflow (error code 4, lib.rs:21).
+"""
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+
+from .errors import overflow
+from .params import Params
+
+
+def _centered(coeffs: np.ndarray, t: int) -> list[int]:
+    half = t // 2
+    return [int(c) - t if int(c) > half else int(c) for c in coeffs]
+
+
+def encode_unsigned(value: int, params: Params, bits: int) -> np.ndarray:
+    if not 0 <= value < 1 << bits:
+        raise overflow(f"unsigned{bits} out of range")
+    n, t = params.n, params.t
+    out = np.zeros(n, dtype=np.uint64)
+    i = 0
+    v = int(value)
+    while v:
+        out[i] = v & 1
+        v >>= 1
+        i += 1
+    return out
+
+
+def decode_unsigned(coeffs: np.ndarray, params: Params, bits: int) -> int:
+    c = _centered(coeffs, params.t)
+    val = sum(ci << i for i, ci in enumerate(c))
+    if not 0 <= val < 1 << bits:
+        raise overflow(f"decoded value does not fit unsigned{bits}")
+    return val
+
+
+def encode_signed(value: int, params: Params) -> np.ndarray:
+    if not -(1 << 63) <= value < 1 << 63:
+        raise overflow("i64 out of range")
+    mag = encode_unsigned(abs(int(value)), params, 64)
+    if value < 0:
+        t = np.uint64(params.t)
+        mag = np.where(mag != 0, t - mag, mag)
+    return mag
+
+
+def decode_signed(coeffs: np.ndarray, params: Params) -> int:
+    c = _centered(coeffs, params.t)
+    val = sum(ci << i for i, ci in enumerate(c))
+    if not -(1 << 63) <= val < 1 << 63:
+        raise overflow("decoded value does not fit i64")
+    return val
+
+
+#: Fractional<64>: 64 integer bits, the rest of the ring carries fractional bits.
+FRAC_INT_BITS = 64
+
+
+def encode_frac64(value: float, params: Params) -> np.ndarray:
+    n, t = params.n, params.t
+    f = Fraction(float(value))  # exact binary fraction (f64 is dyadic)
+    neg = f < 0
+    f = abs(f)
+    int_part = int(f)
+    frac_part = f - int_part
+    if int_part >= 1 << FRAC_INT_BITS:
+        raise overflow("fractional integer part out of range")
+    out = np.zeros(n, dtype=np.uint64)
+    i = 0
+    v = int_part
+    while v:
+        out[i] = v & 1
+        v >>= 1
+        i += 1
+    # fractional bits: bit 2^-j -> coefficient n-j, negated (x^n = -1)
+    j = 1
+    max_frac = n - FRAC_INT_BITS
+    while frac_part and j <= max_frac:
+        frac_part *= 2
+        if frac_part >= 1:
+            out[n - j] = t - 1
+            frac_part -= 1
+        j += 1
+    if frac_part:
+        raise overflow("fractional part needs more precision than the ring has")
+    if neg:
+        tt = np.uint64(t)
+        out = np.where(out != 0, tt - out, out)
+    return out
+
+
+def decode_frac64(coeffs: np.ndarray, params: Params) -> float:
+    n, t = params.n, params.t
+    c = _centered(coeffs, t)
+    val = Fraction(0)
+    for i in range(FRAC_INT_BITS):
+        if c[i]:
+            val += Fraction(c[i]) * (1 << i)
+    for j in range(1, n - FRAC_INT_BITS + 1):
+        if c[n - j]:
+            val -= Fraction(c[n - j]) / (1 << j)
+    return float(val)
+
+
+# ---- type-tag table used by the app layer --------------------------------
+
+class PlainType:
+    """A plaintext type: scalar codec glue + polynomial encode/decode."""
+
+    def __init__(self, name: str, encode, decode):
+        self.name = name
+        self.encode = encode
+        self.decode = decode
+
+    def __repr__(self):
+        return f"PlainType({self.name})"
+
+
+U256_TYPE = PlainType(
+    "u256",
+    lambda v, p: encode_unsigned(v, p, 256),
+    lambda c, p: decode_unsigned(c, p, 256))
+U64_TYPE = PlainType(
+    "u64",
+    lambda v, p: encode_unsigned(v, p, 64),
+    lambda c, p: decode_unsigned(c, p, 64))
+I64_TYPE = PlainType("i64", encode_signed, decode_signed)
+FRAC64_TYPE = PlainType("frac64", encode_frac64, decode_frac64)
+
+PLAIN_TYPES = {t.name: t for t in (U256_TYPE, U64_TYPE, I64_TYPE, FRAC64_TYPE)}

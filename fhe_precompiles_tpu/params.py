@@ -116,17 +116,39 @@ class Params:
 
     # ---- BEHZ auxiliary base (for the RNS ct*ct multiply) -----------------
     @functools.cached_property
-    def aux_moduli(self) -> Tuple[int, ...]:
-        """Base B: len(ct_moduli) NTT-friendly primes disjoint from q."""
-        return ntt_friendly_primes(self.n, len(self.ct_moduli),
-                                   exclude=self.coeff_modulus)
+    def _behz_base(self) -> Tuple[Tuple[int, ...], int]:
+        """(B, m_sk): aux base sized so the BEHZ bounds hold with headroom.
 
-    @functools.cached_property
+        Requirements (BEHZ'16, "A Full RNS Variant of FV"):
+          * q * prod(B) * m_sk  >  2 * tensor_max   (tensor products exact)
+          * prod(B) * m_sk      >  2 * floor_max    (Shenoy-Kumaresan exact)
+        with tensor_max = 2n * c_max^2, c_max = q*(k+2) after SmMRq, and
+        floor_max ~= tensor_max * t / q.
+        """
+        k = len(self.ct_moduli)
+        c_max = self.q * (k + 2)
+        tensor_max = 2 * self.n * c_max * c_max
+        floor_max = tensor_max * self.t // self.q + (k + 1) * self.q
+        count = k
+        while True:
+            primes = ntt_friendly_primes(self.n, count + 1,
+                                         exclude=self.coeff_modulus)
+            base, m_sk = primes[:count], primes[count]
+            prod_b = math.prod(base)
+            if (self.q * prod_b * m_sk > 2 * tensor_max
+                    and prod_b * m_sk > 2 * floor_max):
+                return base, m_sk
+            count += 1
+
+    @property
+    def aux_moduli(self) -> Tuple[int, ...]:
+        """Base B: NTT-friendly primes disjoint from q (BEHZ multiply)."""
+        return self._behz_base[0]
+
+    @property
     def m_sk(self) -> int:
         """Shenoy-Kumaresan redundant prime (one more NTT-friendly prime)."""
-        return ntt_friendly_primes(
-            self.n, len(self.ct_moduli) + 1,
-            exclude=self.coeff_modulus)[-1]
+        return self._behz_base[1]
 
     @property
     def m_tilde(self) -> int:
