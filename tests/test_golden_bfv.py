@@ -1,0 +1,131 @@
+"""Golden-model BFV semantics: round-trips per op, determinism, noise.
+
+Mirrors the reference's per-op round-trip test style (fhe.rs:1038-2076,
+always 16 op 4 -> 20/12/64) plus determinism assertions (fhe.rs:2124-2140).
+"""
+import numpy as np
+import pytest
+
+from fhe_precompiles_tpu.bfv import BfvContext
+from fhe_precompiles_tpu.encoding import (decode_frac64, decode_signed,
+                                          decode_unsigned, encode_frac64,
+                                          encode_signed, encode_unsigned)
+from fhe_precompiles_tpu.params import BENCH_N1024, TESTNET_ONE
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return BfvContext(TESTNET_ONE)
+
+
+@pytest.fixture(scope="module")
+def keys(ctx):
+    return ctx.generate_keys(seed=b"\x11" * 64)
+
+
+def test_encrypt_decrypt_roundtrip(ctx, keys):
+    pk, sk = keys
+    m = encode_unsigned(12, ctx.params, 256)
+    ct = ctx.encrypt(m, pk, seed=b"\x22" * 64)
+    assert decode_unsigned(ctx.decrypt(ct, sk), ctx.params, 256) == 12
+
+
+def test_deterministic_encryption(ctx, keys):
+    pk, _ = keys
+    m = encode_unsigned(16, ctx.params, 256)
+    a = ctx.encrypt(m, pk, seed=b"\x33" * 64)
+    b = ctx.encrypt(m, pk, seed=b"\x33" * 64)
+    assert np.array_equal(a.data, b.data)
+    c = ctx.encrypt(m, pk, seed=b"\x34" * 64)
+    assert not np.array_equal(a.data, c.data)
+
+
+def test_transparent_zero_difference(ctx, keys):
+    # same (value, seed) => identical ciphertexts whose difference decrypts
+    # to zero (the reference's transparent-ciphertexts test, fhe.rs:2124-2140)
+    pk, sk = keys
+    m = encode_unsigned(16, ctx.params, 256)
+    a = ctx.encrypt(m, pk, seed=b"\x35" * 64)
+    b = ctx.encrypt(m, pk, seed=b"\x35" * 64)
+    diff = ctx.sub(a, b)
+    assert decode_unsigned(ctx.decrypt(diff, sk), ctx.params, 256) == 0
+
+
+@pytest.mark.parametrize("ta,tb,expected,op", [
+    (16, 4, 20, "add"), (16, 4, 12, "sub"), (16, 4, 64, "mul")])
+def test_cipher_cipher_u256(ctx, keys, ta, tb, expected, op):
+    pk, sk = keys
+    a = ctx.encrypt(encode_unsigned(ta, ctx.params, 256), pk, seed=b"\x41" * 64)
+    b = ctx.encrypt(encode_unsigned(tb, ctx.params, 256), pk, seed=b"\x42" * 64)
+    if op == "add":
+        out = ctx.add(a, b)
+    elif op == "sub":
+        out = ctx.sub(a, b)
+    else:
+        out = ctx.mul_relin(a, b, pk.relin)
+    assert decode_unsigned(ctx.decrypt(out, sk), ctx.params, 256) == expected
+
+
+def test_cipher_plain_ops(ctx, keys):
+    pk, sk = keys
+    P = ctx.params
+    a = ctx.encrypt(encode_unsigned(16, P, 64), pk, seed=b"\x43" * 64)
+    m4 = encode_unsigned(4, P, 64)
+    assert decode_unsigned(ctx.decrypt(ctx.add_plain(a, m4), sk), P, 64) == 20
+    assert decode_unsigned(ctx.decrypt(ctx.sub_plain(a, m4), sk), P, 64) == 12
+    assert decode_unsigned(ctx.decrypt(ctx.mul_plain(a, m4), sk), P, 64) == 64
+    # plain - cipher: 4 - 16 = -12 in signed world
+    s = ctx.encrypt(encode_signed(16, P), pk, seed=b"\x44" * 64)
+    out = ctx.plain_sub(encode_signed(4, P), s)
+    assert decode_signed(ctx.decrypt(out, sk), P) == -12
+
+
+def test_signed_ops(ctx, keys):
+    pk, sk = keys
+    P = ctx.params
+    a = ctx.encrypt(encode_signed(-16, P), pk, seed=b"\x45" * 64)
+    b = ctx.encrypt(encode_signed(4, P), pk, seed=b"\x46" * 64)
+    assert decode_signed(ctx.decrypt(ctx.add(a, b), sk), P) == -12
+    assert decode_signed(ctx.decrypt(ctx.mul_relin(a, b, pk.relin), sk),
+                         P) == -64
+
+
+def test_frac64_ops(ctx, keys):
+    pk, sk = keys
+    P = ctx.params
+    a = ctx.encrypt(encode_frac64(16.5, P), pk, seed=b"\x47" * 64)
+    b = ctx.encrypt(encode_frac64(4.25, P), pk, seed=b"\x48" * 64)
+    assert decode_frac64(ctx.decrypt(ctx.add(a, b), sk), P) == 20.75
+    assert decode_frac64(ctx.decrypt(ctx.sub(a, b), sk), P) == 12.25
+    got = decode_frac64(ctx.decrypt(ctx.mul_relin(a, b, pk.relin), sk), P)
+    assert got == 16.5 * 4.25
+
+
+def test_noise_budget_positive_after_mul(ctx, keys):
+    pk, sk = keys
+    a = ctx.encrypt(encode_unsigned(7, ctx.params, 64), pk, seed=b"\x49" * 64)
+    b = ctx.encrypt(encode_unsigned(9, ctx.params, 64), pk, seed=b"\x4a" * 64)
+    fresh = ctx.noise_budget_bits(a, sk)
+    after = ctx.noise_budget_bits(ctx.mul_relin(a, b, pk.relin), sk)
+    assert fresh > 50
+    assert 10 < after < fresh
+
+
+def test_single_modulus_params_add():
+    # BASELINE config 1: n=1024, single RNS modulus (no special prime)
+    ctx = BfvContext(BENCH_N1024)
+    pk, sk = ctx.generate_keys(seed=b"\x51" * 64, relin=False)
+    a = ctx.encrypt(encode_unsigned(16, ctx.params, 64), pk, seed=b"\x52" * 64)
+    b = ctx.encrypt(encode_unsigned(4, ctx.params, 64), pk, seed=b"\x53" * 64)
+    assert decode_unsigned(ctx.decrypt(ctx.add(a, b), sk), ctx.params, 64) == 20
+
+
+def test_fresh_keys_isolated(ctx, keys):
+    # ciphertext under key A must not decrypt correctly under key B
+    pk_a, _ = keys
+    _, sk_b = ctx.generate_keys(seed=b"\x61" * 64, relin=False)
+    ct = ctx.encrypt(encode_unsigned(16, ctx.params, 256), pk_a,
+                     seed=b"\x62" * 64)
+    got = ctx.decrypt(ct, sk_b)
+    # decrypting with the wrong key yields garbage coefficients
+    assert not np.array_equal(got, encode_unsigned(16, ctx.params, 256))
