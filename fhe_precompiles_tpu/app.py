@@ -1,0 +1,275 @@
+"""FheApp: the byte-in/byte-out precompile surface (49 operations).
+
+Parity target: ``/root/reference/src/fhe.rs:56-780``.
+
+* 36 binary ops: {add,sub,mul} x {u256,u64,i64,frac64} x {cipher-cipher,
+  cipher-plain, plain-cipher} (fhe.rs:161-576, programs at fhe.rs:782-1022).
+* Threshold-network simulation API: encrypt / reencrypt / decrypt x 4 types +
+  public_key_bytes (fhe.rs:578-779).
+* Error codes on failure follow lib.rs:14-27 via FheError.
+
+The compute engine is pluggable: the golden CPU model (default, canonical
+bytes) or the batched JAX/TPU engine -- both produce identical ciphertext
+bytes, so validators on different hardware stay in consensus.
+"""
+from __future__ import annotations
+
+import hashlib
+import importlib.resources
+from typing import Callable, Optional
+
+from . import pack
+from .bfv.golden import BfvContext, Ciphertext, PublicKey, SecretKey
+from .encoding import (FRAC64_TYPE, I64_TYPE, PLAIN_TYPES, U64_TYPE,
+                       U256_TYPE, PlainType)
+from .errors import (FheError, FheErrorCode, failed_decryption,
+                     failed_encryption)
+from .params import Params
+from .serialization import keyio
+
+#: The reference's fixed 512-bit private constant mixed into every
+#: threshold-encrypt seed derivation (fhe.rs:604-609).  Part of the protocol:
+#: identical bytes are required for consensus-compatible seed derivation.
+ENCRYPT_PRIVATE_CONSTANT = bytes([
+    15, 17, 225, 5, 30, 1, 237, 218, 130, 19, 37, 95, 222, 218, 244, 172,
+    214, 175, 175, 110, 173, 103, 172, 60, 43, 76, 40, 150, 215, 96, 23, 78,
+    22, 39, 30, 177, 107, 130, 124, 109, 27, 96, 206, 125, 104, 241, 10, 40,
+    88, 238, 117, 118, 79, 113, 213, 110, 148, 179, 53, 19, 227, 154, 151, 122,
+])
+
+_CT_CODEC = pack.ObjectCodec(Ciphertext)
+_PK_CODEC = pack.ObjectCodec(PublicKey)
+
+_SCALAR_CODECS = {
+    "u256": pack.U256, "u64": pack.U64, "i64": pack.I64, "frac64": pack.FRAC64,
+}
+_TYPE_BY_NAME = {
+    "u256": U256_TYPE, "u64": U64_TYPE, "i64": I64_TYPE, "frac64": FRAC64_TYPE,
+}
+
+
+def _load_embedded(name: str) -> bytes:
+    ref = importlib.resources.files("fhe_precompiles_tpu") / "data" / name
+    return ref.read_bytes()
+
+
+class FheApp:
+    """Precompile runtime bound to one parameter set + the network keypair.
+
+    Mirrors ``FheApp`` (fhe.rs:56-131).  `engine` selects the compute
+    backend ("golden" CPU reference or "jax" for the TPU path).
+    """
+
+    def __init__(self, params: Params,
+                 network_public_key_bytes: Optional[bytes] = None,
+                 network_private_key_bytes: Optional[bytes] = None,
+                 engine: str = "golden"):
+        self.params = params
+        self.ctx = BfvContext(params)
+        if network_public_key_bytes is None:
+            network_public_key_bytes = _load_embedded("network.pub")
+        if network_private_key_bytes is None:
+            network_private_key_bytes = _load_embedded("network.pri")
+        self._public_key_bytes = network_public_key_bytes
+        self.public_key = keyio.load_public_key(network_public_key_bytes)
+        self.private_key = keyio.load_private_key(network_private_key_bytes)
+        self._engine_name = engine
+        self._engine = None
+        if engine == "jax":
+            from .ops.engine import JaxEngine
+            self._engine = JaxEngine(params)
+
+    # ------------------------------------------------------------------
+    # key generation (fhe.rs:133-136; galois keys stripped per fhe.rs:34-44)
+    # ------------------------------------------------------------------
+    def generate_keys(self):
+        return self.ctx.generate_keys()
+
+    # ------------------------------------------------------------------
+    # core arithmetic dispatch
+    # ------------------------------------------------------------------
+    def _run_op(self, op: str, shape: str, ptype: PlainType,
+                a, b, public_key: PublicKey) -> Ciphertext:
+        eng = self._engine if self._engine is not None else self.ctx
+        try:
+            if shape == "cc":
+                if op == "add":
+                    return eng.add(a, b)
+                if op == "sub":
+                    return eng.sub(a, b)
+                if public_key.relin is None:
+                    raise FheError(FheErrorCode.RUNTIME_ERROR,
+                                   "public key lacks relinearization keys")
+                return eng.mul_relin(a, b, public_key.relin)
+            if shape == "cp":
+                pb = ptype.encode(b, self.params)
+                if op == "add":
+                    return eng.add_plain(a, pb)
+                if op == "sub":
+                    return eng.sub_plain(a, pb)
+                return eng.mul_plain(a, pb)
+            # pc: plain op cipher
+            pa = ptype.encode(a, self.params)
+            if op == "add":
+                return eng.add_plain(b, pa)
+            if op == "sub":
+                return eng.plain_sub(pa, b)
+            return eng.mul_plain(b, pa)
+        except FheError:
+            raise
+        except Exception as exc:
+            raise FheError(FheErrorCode.RUNTIME_ERROR, str(exc)) from exc
+
+    def _binary_op(self, op: str, shape: str, tname: str,
+                   input_bytes: bytes) -> bytes:
+        """The fhe_binary_op path (fhe.rs:21-31)."""
+        scalar = _SCALAR_CODECS[tname]
+        ptype = _TYPE_BY_NAME[tname]
+        ca = _CT_CODEC if shape in ("cc", "cp") else scalar
+        cb = _CT_CODEC if shape in ("cc", "pc") else scalar
+        public_key, a, b = pack.unpack_binary_operation(
+            input_bytes, _PK_CODEC, ca, cb)
+        result = self._run_op(op, shape, ptype, a, b, public_key)
+        return result.to_bytes()
+
+    # ------------------------------------------------------------------
+    # threshold network simulation API (fhe.rs:578-779)
+    # ------------------------------------------------------------------
+    def _encrypt(self, tname: str, input_bytes: bytes) -> bytes:
+        """Deterministic encrypt under the network key (fhe.rs:594-618)."""
+        scalar = _SCALAR_CODECS[tname]
+        ptype = _TYPE_BY_NAME[tname]
+        plain, public_data = pack.unpack_two_arguments(
+            input_bytes, scalar, pack.BYTES)
+        h = hashlib.sha512()
+        h.update(public_data)
+        h.update(ENCRYPT_PRIVATE_CONSTANT)
+        h.update(scalar.serialize(plain))
+        seed = h.digest()
+        try:
+            ct = self.ctx.encrypt(ptype.encode(plain, self.params),
+                                  self.public_key, seed)
+        except FheError:
+            raise
+        except Exception as exc:
+            raise failed_encryption(str(exc)) from exc
+        return ct.to_bytes()
+
+    def _reencrypt(self, tname: str, input_bytes: bytes) -> bytes:
+        """Decrypt under the network key, deterministically re-encrypt under a
+        caller key (fhe.rs:632-678); seed binds the full input."""
+        scalar = _SCALAR_CODECS[tname]
+        ptype = _TYPE_BY_NAME[tname]
+        public_key, ciphertext, public_data = pack.unpack_binary_operation(
+            input_bytes, _PK_CODEC, _CT_CODEC, pack.BYTES)
+        public_data = public_data + input_bytes  # fhe.rs:676
+        try:
+            poly = self.ctx.decrypt(ciphertext, self.private_key)
+            value = ptype.decode(poly, self.params)
+        except FheError as e:
+            if e.code == FheErrorCode.OVERFLOW:
+                raise
+            raise failed_decryption(str(e)) from e
+        except Exception as exc:
+            raise failed_decryption(str(exc)) from exc
+        h = hashlib.sha512()
+        h.update(public_data)
+        h.update(scalar.serialize(value))
+        seed = h.digest()
+        try:
+            ct = self.ctx.encrypt(ptype.encode(value, self.params),
+                                  public_key, seed)
+        except Exception as exc:
+            raise failed_encryption(str(exc)) from exc
+        return ct.to_bytes()
+
+    def _decrypt(self, tname: str, input_bytes: bytes) -> bytes:
+        """Decrypt under the network key; output is the scalar's BE bytes,
+        NOT bincode (fhe.rs:688-699)."""
+        scalar = _SCALAR_CODECS[tname]
+        ptype = _TYPE_BY_NAME[tname]
+        ciphertext = pack.unpack_one_argument(input_bytes, _CT_CODEC)
+        try:
+            poly = self.ctx.decrypt(ciphertext, self.private_key)
+            value = ptype.decode(poly, self.params)
+        except FheError as e:
+            if e.code == FheErrorCode.OVERFLOW:
+                raise
+            raise failed_decryption(str(e)) from e
+        except Exception as exc:
+            raise failed_decryption(str(exc)) from exc
+        return scalar.serialize(value)
+
+    def public_key_bytes(self, _input: bytes = b"") -> bytes:
+        """fhe.rs:701-703: the stored network public key bytes, verbatim."""
+        return self._public_key_bytes
+
+    # ------------------------------------------------------------------
+    # C-ABI style entry: name + bytes -> (code, payload)
+    # ------------------------------------------------------------------
+    def call(self, name: str, input_bytes: bytes):
+        """Run a precompile by name, returning (error_code, payload_bytes).
+
+        Code 0 = success (the c_fhe.rs:22-56 contract).
+        """
+        fn = getattr(self, name, None)
+        if fn is None or name.startswith("_"):
+            return int(FheErrorCode.INVALID_ENCODING), b""
+        try:
+            return 0, fn(input_bytes)
+        except FheError as e:
+            return int(e.code), b""
+        except Exception:
+            return int(FheErrorCode.RUNTIME_ERROR), b""
+
+
+# --------------------------------------------------------------------------
+# Generate the 49 named precompile methods (macro analog of fhe.rs:161-779)
+# --------------------------------------------------------------------------
+
+def _make_binary(op: str, shape: str, tname: str) -> Callable:
+    def method(self: FheApp, input_bytes: bytes) -> bytes:
+        return self._binary_op(op, shape, tname, input_bytes)
+    return method
+
+
+def _install_ops():
+    for tname in ("u256", "u64", "i64", "frac64"):
+        c, p = f"cipher{tname}", tname
+        for op in ("add", "sub", "mul"):
+            specs = {
+                f"{op}_{c}_{c}": ("cc",),
+                f"{op}_{c}_{p}": ("cp",),
+                f"{op}_{p}_{c}": ("pc",),
+            }
+            for name, (shape,) in specs.items():
+                m = _make_binary(op, shape, tname)
+                m.__name__ = name
+                m.__doc__ = (f"Precompile {name}: expects "
+                             f"pack_binary_operation input (fhe.rs parity).")
+                setattr(FheApp, name, m)
+        setattr(FheApp, f"encrypt_{tname}",
+                (lambda tn: lambda self, b: self._encrypt(tn, b))(tname))
+        setattr(FheApp, f"reencrypt_{tname}",
+                (lambda tn: lambda self, b: self._reencrypt(tn, b))(tname))
+        setattr(FheApp, f"decrypt_{tname}",
+                (lambda tn: lambda self, b: self._decrypt(tn, b))(tname))
+
+
+_install_ops()
+
+#: All 49 precompile entry points, in the reference's declaration order
+#: (c_fhe.rs:74-141) -- the C ABI shim iterates this list.
+PRECOMPILE_NAMES = tuple(
+    f"{op}_{a}_{b}"
+    for t in ("u256", "u64", "i64", "frac64")
+    for op in ("add", "sub", "mul")
+    for a, b in ((f"cipher{t}", f"cipher{t}"), (f"cipher{t}", t),
+                 (t, f"cipher{t}"))
+) + tuple(
+    f"{kind}_{t}"
+    for kind in ("encrypt", "reencrypt", "decrypt")
+    for t in ("u256", "u64", "i64", "frac64")
+) + ("public_key_bytes",)
+
+assert len(PRECOMPILE_NAMES) == 49

@@ -1,0 +1,35 @@
+"""Testnet parameter/runtime singletons.
+
+Parity target: ``/root/reference/src/testnet.rs`` -- module ``one`` exposes
+PARAMS / RUNTIME (here: the BfvContext) / FHE (lazy app singleton) /
+generate_keys.  New testnets are added as further modules in the registry
+pattern (testnet.rs:1-2 implies `one` -> future `two`).
+"""
+from __future__ import annotations
+
+import functools
+
+from .app import FheApp
+from .bfv.golden import BfvContext
+from .params import TESTNET_ONE
+
+
+class _TestnetOne:
+    """Lazy singletons for the first testnet (testnet.rs:8-25)."""
+
+    PARAMS = TESTNET_ONE
+
+    @functools.cached_property
+    def RUNTIME(self) -> BfvContext:  # noqa: N802 - parity naming
+        return BfvContext(self.PARAMS)
+
+    @functools.cached_property
+    def FHE(self) -> FheApp:  # noqa: N802 - parity naming
+        return FheApp(self.PARAMS)
+
+    def generate_keys(self):
+        """Fresh user keypair under testnet-one params (testnet.rs:20-22)."""
+        return self.FHE.generate_keys()
+
+
+one = _TestnetOne()
