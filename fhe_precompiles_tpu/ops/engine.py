@@ -1,0 +1,411 @@
+"""JaxEngine: batched BFV operations as jitted XLA programs.
+
+TPU-native replacement for SEAL's Evaluator (SURVEY.md section 2.2): every op
+runs over stacked tensors shaped (batch, ..., L, n) where L is an RNS-limb
+axis, so one fused elementwise program covers all limbs of a whole batch of
+ciphertexts.  Division-free arithmetic (Barrett/Shoup) throughout.
+
+Bit-exactness: each method reproduces ``bfv/golden.py`` arrays exactly
+(asserted by tests/test_jax_engine.py); CPU and TPU validators therefore stay
+in byte-level consensus.
+
+Layouts:
+  ct batch   uint64 (B, size, k, n)      coefficient form
+  pk         uint64 (2, k_key, n)        NTT form
+  relin keys uint64 (k, 2, k_key, n)     NTT form
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bfv.golden import BfvContext, Ciphertext, PublicKey, RelinKeys
+from ..params import Params
+from ..sampling import (Blake2Xof, DOMAIN_ERROR, DOMAIN_TERNARY, sample_cbd,
+                        sample_ternary)
+from .modmath import (addmod, barrett_mu, barrett_reduce, mulmod,
+                      mulmod_shoup, negmod, shoup_precompute, submod)
+from .ntt import build_tables, intt, ntt
+
+
+def _const(x) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(x, dtype=np.uint64))
+
+
+def _scalar_shoup(values, mods):
+    """(w, w_shoup) device pairs for per-limb scalar constants."""
+    w = np.asarray(values, dtype=np.uint64)
+    ws = shoup_precompute(w, np.asarray(mods, dtype=np.uint64))
+    return _const(w), _const(ws)
+
+
+class JaxEngine:
+    """All BFV ops as jitted, batch-stacked XLA programs for one param set."""
+
+    def __init__(self, params: Params, golden: Optional[BfvContext] = None):
+        self.params = params
+        g = golden if golden is not None else BfvContext(params)
+        self.golden = g
+        n, k, k_key = g.n, g.k, g.k_key
+        self.n, self.k, self.k_key = n, k, k_key
+        self.nb = k + len(g.Bsk)
+
+        # NTT tables per base stack
+        self.tb_q = build_tables(g.q_mods, n)
+        self.tb_all = build_tables(g.q_mods + g.Bsk, n)
+        self.tb_key = build_tables(g.key_mods, n)
+
+        self.q_mods = _const(np.array(g.q_mods).reshape(k, 1))
+        self.mu_q = _const(barrett_mu(np.array(g.q_mods).reshape(k, 1)))
+        self.scale_table = _const(g.scale_table)            # (k, t)
+
+        # ---- BEHZ constants ------------------------------------------
+        bsk_mt = g.Bsk + [g.m_tilde]
+        self.bsk = _const(np.array(g.Bsk).reshape(-1, 1))
+        self.mu_bsk = _const(barrett_mu(np.array(g.Bsk).reshape(-1, 1)))
+        self.bsk_mt_mods = _const(np.array(bsk_mt).reshape(-1, 1))
+        self.m_tilde = g.m_tilde
+        self.m_sk = g.m_sk
+
+        self.mt_mod_q = _scalar_shoup(
+            np.array(g.mtilde_mod_q).reshape(k, 1),
+            np.array(g.q_mods).reshape(k, 1))
+        self.q_hat_inv = _scalar_shoup(
+            np.array(g.q_hat_inv).reshape(k, 1),
+            np.array(g.q_mods).reshape(k, 1))
+        # q_hat_mod_x for targets Bsk+[mt]: (nt, k) w.r.t. target moduli
+        qhm = np.array([[int(g.q_hat[i]) % x for i in range(k)]
+                        for x in bsk_mt], dtype=np.uint64)
+        tgt = np.array(bsk_mt, dtype=np.uint64).reshape(-1, 1)
+        self.q_hat_mod_x = (_const(qhm[..., None]),
+                            _const(shoup_precompute(qhm[..., None],
+                                                    tgt[:, None])))
+        self.neg_inv_q_mod_mt = int(g.neg_inv_q_mod_mtilde)
+        self.q_mod_bsk = _scalar_shoup(
+            np.array([g.q_mod_x[x] for x in g.Bsk]).reshape(-1, 1),
+            np.array(g.Bsk).reshape(-1, 1))
+        self.inv_mt_mod_bsk = _scalar_shoup(
+            np.array([g.inv_mtilde_mod_x[x] for x in g.Bsk]).reshape(-1, 1),
+            np.array(g.Bsk).reshape(-1, 1))
+        self.inv_q_mod_bsk = _scalar_shoup(
+            np.array([g.inv_q_mod_x[x] for x in g.Bsk]).reshape(-1, 1),
+            np.array(g.Bsk).reshape(-1, 1))
+
+        nB = len(g.B)
+        self.nB = nB
+        self.b_mods = _const(np.array(g.B).reshape(nB, 1))
+        self.b_hat_inv = _scalar_shoup(
+            np.array(g.b_hat_inv).reshape(nB, 1),
+            np.array(g.B).reshape(nB, 1))
+        bh_q = np.array([[int(g.b_hat[i]) % p for i in range(nB)]
+                         for p in g.q_mods], dtype=np.uint64)
+        self.b_hat_mod_q = (_const(bh_q[..., None]),
+                            _const(shoup_precompute(
+                                bh_q[..., None],
+                                np.array(g.q_mods, dtype=np.uint64
+                                         ).reshape(-1, 1, 1))))
+        bh_msk = np.array([int(h) % g.m_sk for h in g.b_hat], dtype=np.uint64)
+        self.b_hat_mod_msk = _scalar_shoup(
+            bh_msk.reshape(nB, 1), np.full((nB, 1), g.m_sk, dtype=np.uint64))
+        self.inv_prod_B_mod_msk = _scalar_shoup(
+            np.array([[g.inv_prod_B_mod_msk]]),
+            np.array([[g.m_sk]]))
+        self.prod_B_mod_q = _scalar_shoup(
+            np.array(g.prod_B_mod_q).reshape(k, 1),
+            np.array(g.q_mods).reshape(k, 1))
+
+        # ---- keyswitch constants -------------------------------------
+        if params.special_modulus is not None:
+            self.P = params.special_modulus
+            self.key_mods = _const(np.array(g.key_mods).reshape(k_key, 1))
+            self.mu_key = _const(barrett_mu(
+                np.array(g.key_mods).reshape(k_key, 1)))
+            self.half_mod_q = _const(
+                np.array([g.P_half % p for p in g.q_mods]).reshape(k, 1))
+            self.inv_P_mod_q = _scalar_shoup(
+                np.array(g.inv_P_mod_q).reshape(k, 1),
+                np.array(g.q_mods).reshape(k, 1))
+
+        self._jit_cache = {}
+
+    # ==================================================================
+    # elementwise ops
+    # ==================================================================
+    @functools.cached_property
+    def _add(self):
+        return jax.jit(lambda a, b: addmod(a, b, self.q_mods))
+
+    @functools.cached_property
+    def _sub(self):
+        return jax.jit(lambda a, b: submod(a, b, self.q_mods))
+
+    @functools.cached_property
+    def _neg(self):
+        return jax.jit(lambda a: negmod(a, self.q_mods))
+
+    def _scaled_plain(self, m: jnp.ndarray) -> jnp.ndarray:
+        """round(q*m/t) per limb: (..., n) plain -> (..., k, n)."""
+        st = jnp.take(self.scale_table, m.astype(jnp.int64), axis=1)
+        return jnp.moveaxis(st, 0, -2)
+
+    @functools.cached_property
+    def _add_plain(self):
+        def f(ct, m):
+            dm = self._scaled_plain(m)
+            return ct.at[..., 0, :, :].set(
+                addmod(ct[..., 0, :, :], dm, self.q_mods))
+        return jax.jit(f)
+
+    @functools.cached_property
+    def _sub_plain(self):
+        def f(ct, m):
+            dm = self._scaled_plain(m)
+            return ct.at[..., 0, :, :].set(
+                submod(ct[..., 0, :, :], dm, self.q_mods))
+        return jax.jit(f)
+
+    @functools.cached_property
+    def _plain_sub(self):
+        def f(m, ct):
+            out = negmod(ct, self.q_mods)
+            dm = self._scaled_plain(m)
+            return out.at[..., 0, :, :].set(
+                addmod(out[..., 0, :, :], dm, self.q_mods))
+        return jax.jit(f)
+
+    @functools.cached_property
+    def _mul_plain(self):
+        def f(ct, m):
+            # lift plain poly mod each q_j, NTT once, multiply every component
+            m_rns = barrett_reduce(m[..., None, :], self.q_mods, self.mu_q)
+            m_ntt = ntt(m_rns, self.tb_q)
+            c_ntt = ntt(ct, self.tb_q)
+            out = mulmod(c_ntt, m_ntt[..., None, :, :], self.q_mods, self.mu_q)
+            return intt(out, self.tb_q)
+        return jax.jit(f)
+
+    # ==================================================================
+    # BEHZ multiply
+    # ==================================================================
+    def _fastbconv_q_to(self, poly_q, targets_w, targets_ws, target_mods):
+        """FastBconv base q -> targets.  poly_q: (..., k, n).
+
+        targets_w/ws: (nt, k, 1) scalars mod target; target_mods: (nt, 1).
+        Returns (..., nt, n).
+        """
+        y = mulmod_shoup(poly_q, *self.q_hat_inv, self.q_mods)   # (..., k, n)
+        yb = y[..., None, :, :]                                   # (..,1,k,n)
+        terms = mulmod_shoup(yb, targets_w, targets_ws,
+                             target_mods[..., None, :])           # (..,nt,k,n)
+        acc = terms[..., 0, :]
+        for i in range(1, self.k):
+            acc = addmod(acc, terms[..., i, :], target_mods)
+        return acc
+
+    def _to_bsk(self, poly_q):
+        """BEHZ steps 1-2: lift (..., k, n) base-q residues into Bsk."""
+        mt = self.m_tilde
+        scaled = mulmod_shoup(poly_q, *self.mt_mod_q, self.q_mods)
+        conv = self._fastbconv_q_to(scaled, *self.q_hat_mod_x,
+                                    self.bsk_mt_mods)
+        c_bsk, c_mt = conv[..., :-1, :], conv[..., -1, :]
+        # r = [-c_mt / q]_mt ; mt is a power of two -> mask instead of Barrett
+        r = (c_mt * jnp.uint64(self.neg_inv_q_mod_mt)) & jnp.uint64(mt - 1)
+        # centered lift of r modulo each Bsk prime
+        r_b = r[..., None, :]
+        big = r_b > jnp.uint64(mt // 2)
+        rm = jnp.where(big, self.bsk - (jnp.uint64(mt) - r_b), r_b)
+        num = addmod(c_bsk, mulmod_shoup(rm, *self.q_mod_bsk, self.bsk),
+                     self.bsk)
+        return mulmod_shoup(num, *self.inv_mt_mod_bsk, self.bsk)
+
+    def _fastbconv_sk(self, poly_bsk):
+        """Shenoy-Kumaresan exact Bsk -> q.  poly_bsk: (..., nB+1, n)."""
+        nB, msk = self.nB, self.m_sk
+        xB, x_msk = poly_bsk[..., :nB, :], poly_bsk[..., nB, :]
+        y = mulmod_shoup(xB, *self.b_hat_inv, self.b_mods)
+        # alpha via m_sk
+        terms = mulmod_shoup(y, *self.b_hat_mod_msk, jnp.uint64(msk))
+        acc = terms[..., 0, :]
+        for i in range(1, nB):
+            acc = addmod(acc, terms[..., i, :], jnp.uint64(msk))
+        alpha = mulmod_shoup(submod(acc, x_msk, jnp.uint64(msk)),
+                             self.inv_prod_B_mod_msk[0][0, 0],
+                             self.inv_prod_B_mod_msk[1][0, 0],
+                             jnp.uint64(msk))
+        # conversion into q with centered alpha correction
+        yb = y[..., None, :, :]                                   # (..,1,nB,n)
+        w, ws = self.b_hat_mod_q
+        terms_q = mulmod_shoup(yb, w, ws, self.q_mods[..., None, :])
+        accq = terms_q[..., 0, :]
+        for i in range(1, nB):
+            accq = addmod(accq, terms_q[..., i, :], self.q_mods)
+        a_b = alpha[..., None, :]
+        big = a_b > jnp.uint64(msk // 2)
+        am = jnp.where(
+            big,
+            submod(jnp.uint64(0),
+                   barrett_reduce(jnp.uint64(msk) - a_b, self.q_mods,
+                                  self.mu_q), self.q_mods),
+            barrett_reduce(a_b, self.q_mods, self.mu_q))
+        corr = mulmod_shoup(am, *self.prod_B_mod_q, self.q_mods)
+        return submod(accq, corr, self.q_mods)
+
+    @functools.cached_property
+    def _multiply(self):
+        def f(a, b):
+            """(B, 2, k, n) x (B, 2, k, n) -> (B, 3, k, n) BEHZ tensor+scale."""
+            k = self.k
+            ea = jnp.concatenate([a, self._to_bsk(a)], axis=-2)  # (B,2,nb,n)
+            eb = jnp.concatenate([b, self._to_bsk(b)], axis=-2)
+            fa = ntt(ea, self.tb_all)
+            fb = ntt(eb, self.tb_all)
+            p_all, mu_all = self.tb_all.p, self.tb_all.mu
+            t0 = mulmod(fa[:, 0], fb[:, 0], p_all, mu_all)
+            t1 = addmod(mulmod(fa[:, 0], fb[:, 1], p_all, mu_all),
+                        mulmod(fa[:, 1], fb[:, 0], p_all, mu_all), p_all)
+            t2 = mulmod(fa[:, 1], fb[:, 1], p_all, mu_all)
+            prod = intt(jnp.stack([t0, t1, t2], axis=1), self.tb_all)
+            # FastFloor per component: floor(t * prod / q) exact-ish in Bsk
+            tq = mulmod(prod, jnp.uint64(self.params.t), p_all, mu_all)
+            conv = self._fastbconv_q_to(tq[..., :k, :], *self.q_hat_mod_x,
+                                        self.bsk_mt_mods)[..., :-1, :]
+            num = submod(tq[..., k:, :], conv, self.bsk)
+            floor_bsk = mulmod_shoup(num, *self.inv_q_mod_bsk, self.bsk)
+            return self._fastbconv_sk(floor_bsk)
+        return jax.jit(f)
+
+    # ==================================================================
+    # relinearization (SEAL-convention keyswitch, rk as runtime input)
+    # ==================================================================
+    @functools.cached_property
+    def _relinearize(self):
+        def f(ct3, rk):
+            """(B, 3, k, n) + rk (k, 2, k_key, n) -> (B, 2, k, n)."""
+            c2 = ct3[:, 2]                                       # (B, k, n)
+            # lift every decomp digit mod every key prime: (B, k, k_key, n)
+            d = barrett_reduce(c2[:, :, None, :], self.key_mods, self.mu_key)
+            d_ntt = ntt(d, self.tb_key)
+            pk_, mu_ = self.key_mods, self.mu_key
+            acc0 = mulmod(d_ntt[:, 0], rk[0, 0], pk_, mu_)
+            acc1 = mulmod(d_ntt[:, 0], rk[0, 1], pk_, mu_)
+            for j in range(1, self.k):
+                acc0 = addmod(acc0, mulmod(d_ntt[:, j], rk[j, 0], pk_, mu_), pk_)
+                acc1 = addmod(acc1, mulmod(d_ntt[:, j], rk[j, 1], pk_, mu_), pk_)
+            acc = intt(jnp.stack([acc0, acc1], axis=1), self.tb_key)
+            # divide by the special prime with rounding
+            P, half = jnp.uint64(self.P), jnp.uint64(self.P >> 1)
+            xP = acc[..., self.k_key - 1, :]
+            xP_half = addmod(xP, half, P)
+            corr = submod(
+                barrett_reduce(xP_half[..., None, :], self.q_mods, self.mu_q),
+                self.half_mod_q, self.q_mods)
+            ti = submod(acc[..., :self.k, :], corr, self.q_mods)
+            res = mulmod_shoup(ti, *self.inv_P_mod_q, self.q_mods)
+            return addmod(ct3[:, :2], res, self.q_mods)
+        return jax.jit(f)
+
+    @functools.cached_property
+    def _mul_relin(self):
+        def f(a, b, rk):
+            return self._relinearize.__wrapped__(
+                self._multiply.__wrapped__(a, b), rk)
+        return jax.jit(f)
+
+    # ==================================================================
+    # batched deterministic encryption (device math, host sampling)
+    # ==================================================================
+    @functools.cached_property
+    def _encrypt_core(self):
+        def f(u_rns, e0_rns, e1_rns, m, pk_ct):
+            """u/e*: (B, k, n) lifted signed samples; m: (B, n) mod t;
+            pk_ct: (2, k, n) = first k limbs of the public key (NTT form)."""
+            u_ntt = ntt(u_rns, self.tb_q)
+            c0 = intt(mulmod(u_ntt, pk_ct[0], self.q_mods, self.mu_q),
+                      self.tb_q)
+            c1 = intt(mulmod(u_ntt, pk_ct[1], self.q_mods, self.mu_q),
+                      self.tb_q)
+            dm = self._scaled_plain(m)
+            c0 = addmod(addmod(c0, e0_rns, self.q_mods), dm, self.q_mods)
+            c1 = addmod(c1, e1_rns, self.q_mods)
+            return jnp.stack([c0, c1], axis=1)
+        return jax.jit(f)
+
+    def encrypt_batch(self, plains: np.ndarray, pk: PublicKey,
+                      seeds) -> jnp.ndarray:
+        """Deterministic batched encrypt: (B, n) mod-t polys -> (B, 2, k, n).
+
+        Bit-identical to golden ``BfvContext.encrypt`` per element.
+        """
+        B = plains.shape[0]
+        n, k = self.n, self.k
+        u = np.empty((B, n), dtype=np.int64)
+        e0 = np.empty((B, n), dtype=np.int64)
+        e1 = np.empty((B, n), dtype=np.int64)
+        for i in range(B):
+            u[i] = sample_ternary(Blake2Xof(seeds[i], DOMAIN_TERNARY), n)
+            xof_e = Blake2Xof(seeds[i], DOMAIN_ERROR)
+            e0[i] = sample_cbd(xof_e, n)
+            e1[i] = sample_cbd(xof_e, n)
+        mods = np.array(self.golden.q_mods, dtype=np.int64).reshape(1, k, 1)
+        u_rns = np.mod(u[:, None, :], mods).astype(np.uint64)
+        e0_rns = np.mod(e0[:, None, :], mods).astype(np.uint64)
+        e1_rns = np.mod(e1[:, None, :], mods).astype(np.uint64)
+        pk_ct = jnp.asarray(pk.data[:, :k])
+        return self._encrypt_core(jnp.asarray(u_rns), jnp.asarray(e0_rns),
+                                  jnp.asarray(e1_rns),
+                                  jnp.asarray(plains.astype(np.uint64)),
+                                  pk_ct)
+
+    # ==================================================================
+    # single-ciphertext API (FheApp engine protocol, host glue)
+    # ==================================================================
+    def _wrap(self, data: jnp.ndarray) -> Ciphertext:
+        return Ciphertext(self.params,
+                          np.asarray(jax.device_get(data), dtype=np.uint64))
+
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        return self._wrap(self._add(jnp.asarray(a.data), jnp.asarray(b.data)))
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        return self._wrap(self._sub(jnp.asarray(a.data), jnp.asarray(b.data)))
+
+    def negate(self, a: Ciphertext) -> Ciphertext:
+        return self._wrap(self._neg(jnp.asarray(a.data)))
+
+    def add_plain(self, a: Ciphertext, plain: np.ndarray) -> Ciphertext:
+        return self._wrap(self._add_plain(jnp.asarray(a.data),
+                                          jnp.asarray(plain)))
+
+    def sub_plain(self, a: Ciphertext, plain: np.ndarray) -> Ciphertext:
+        return self._wrap(self._sub_plain(jnp.asarray(a.data),
+                                          jnp.asarray(plain)))
+
+    def plain_sub(self, plain: np.ndarray, a: Ciphertext) -> Ciphertext:
+        return self._wrap(self._plain_sub(jnp.asarray(plain),
+                                          jnp.asarray(a.data)))
+
+    def mul_plain(self, a: Ciphertext, plain: np.ndarray) -> Ciphertext:
+        return self._wrap(self._mul_plain(jnp.asarray(a.data),
+                                          jnp.asarray(plain)))
+
+    def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        out = self._multiply(jnp.asarray(a.data)[None],
+                             jnp.asarray(b.data)[None])
+        return self._wrap(out[0])
+
+    def relinearize(self, ct: Ciphertext, rk: RelinKeys) -> Ciphertext:
+        out = self._relinearize(jnp.asarray(ct.data)[None],
+                                jnp.asarray(rk.data))
+        return self._wrap(out[0])
+
+    def mul_relin(self, a: Ciphertext, b: Ciphertext,
+                  rk: RelinKeys) -> Ciphertext:
+        out = self._mul_relin(jnp.asarray(a.data)[None],
+                              jnp.asarray(b.data)[None],
+                              jnp.asarray(rk.data))
+        return self._wrap(out[0])

@@ -1,0 +1,105 @@
+"""Bit-exactness of the JAX/TPU engine vs the golden CPU model.
+
+These are the consensus-critical tests: a TPU validator and a CPU validator
+must produce identical ciphertext bytes for every operation.
+"""
+import numpy as np
+import pytest
+
+from fhe_precompiles_tpu.bfv import BfvContext
+from fhe_precompiles_tpu.encoding import decode_unsigned, encode_unsigned
+from fhe_precompiles_tpu.ops.engine import JaxEngine
+from fhe_precompiles_tpu.params import TESTNET_ONE
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return BfvContext(TESTNET_ONE)
+
+
+@pytest.fixture(scope="module")
+def eng(ctx):
+    return JaxEngine(TESTNET_ONE, golden=ctx)
+
+
+@pytest.fixture(scope="module")
+def keys(ctx):
+    return ctx.generate_keys(seed=b"\x91" * 64)
+
+
+@pytest.fixture(scope="module")
+def cts(ctx, keys):
+    pk, _ = keys
+    a = ctx.encrypt(encode_unsigned(16, TESTNET_ONE, 256), pk, b"\x92" * 64)
+    b = ctx.encrypt(encode_unsigned(4, TESTNET_ONE, 256), pk, b"\x93" * 64)
+    return a, b
+
+
+def test_add_sub_neg_bitexact(ctx, eng, cts):
+    a, b = cts
+    assert np.array_equal(eng.add(a, b).data, ctx.add(a, b).data)
+    assert np.array_equal(eng.sub(a, b).data, ctx.sub(a, b).data)
+    assert np.array_equal(eng.negate(a).data, ctx.negate(a).data)
+
+
+def test_plain_ops_bitexact(ctx, eng, cts):
+    a, _ = cts
+    m = encode_unsigned(4, TESTNET_ONE, 256)
+    assert np.array_equal(eng.add_plain(a, m).data, ctx.add_plain(a, m).data)
+    assert np.array_equal(eng.sub_plain(a, m).data, ctx.sub_plain(a, m).data)
+    assert np.array_equal(eng.plain_sub(m, a).data, ctx.plain_sub(m, a).data)
+    assert np.array_equal(eng.mul_plain(a, m).data, ctx.mul_plain(a, m).data)
+
+
+def test_multiply_bitexact(ctx, eng, cts):
+    a, b = cts
+    got = eng.multiply(a, b)
+    want = ctx.multiply(a, b)
+    assert np.array_equal(got.data, want.data)
+
+
+def test_relinearize_and_mul_relin_bitexact(ctx, eng, cts, keys):
+    pk, sk = keys
+    a, b = cts
+    ct3 = ctx.multiply(a, b)
+    got = eng.relinearize(ct3, pk.relin)
+    want = ctx.relinearize(ct3, pk.relin)
+    assert np.array_equal(got.data, want.data)
+    got2 = eng.mul_relin(a, b, pk.relin)
+    assert np.array_equal(got2.data, want.data)
+    assert decode_unsigned(ctx.decrypt(got2, sk), TESTNET_ONE, 256) == 64
+
+
+def test_encrypt_batch_bitexact(ctx, eng, keys):
+    pk, sk = keys
+    B = 3
+    plains = np.stack([encode_unsigned(v, TESTNET_ONE, 64)
+                       for v in (5, 7, 11)])
+    seeds = [bytes([i + 1]) * 64 for i in range(B)]
+    batch = np.asarray(eng.encrypt_batch(plains, pk, seeds))
+    for i, v in enumerate((5, 7, 11)):
+        want = ctx.encrypt(plains[i], pk, seeds[i])
+        assert np.array_equal(batch[i], want.data)
+        from fhe_precompiles_tpu.bfv.golden import Ciphertext
+        assert decode_unsigned(
+            ctx.decrypt(Ciphertext(TESTNET_ONE, batch[i]), sk),
+            TESTNET_ONE, 64) == v
+
+
+def test_batched_mul_relin_matches_per_element(ctx, eng, keys):
+    pk, sk = keys
+    import jax.numpy as jnp
+    B = 2
+    plains_a = [encode_unsigned(v, TESTNET_ONE, 64) for v in (3, 9)]
+    plains_b = [encode_unsigned(v, TESTNET_ONE, 64) for v in (5, 6)]
+    cts_a = [ctx.encrypt(p, pk, bytes([0xa0 + i]) * 64)
+             for i, p in enumerate(plains_a)]
+    cts_b = [ctx.encrypt(p, pk, bytes([0xb0 + i]) * 64)
+             for i, p in enumerate(plains_b)]
+    batch_a = jnp.asarray(np.stack([c.data for c in cts_a]))
+    batch_b = jnp.asarray(np.stack([c.data for c in cts_b]))
+    out = np.asarray(eng._mul_relin(batch_a, batch_b,
+                                    jnp.asarray(pk.relin.data)))
+    for i in range(B):
+        want = ctx.mul_relin(cts_a[i], cts_b[i], pk.relin)
+        assert np.array_equal(out[i], want.data)
