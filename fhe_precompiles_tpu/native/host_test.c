@@ -1,0 +1,70 @@
+/* Standalone C host smoke test: links libc_fhe.so like an EVM node would
+ * (the reference's staticlib consumer model, Cargo.toml:7).
+ *
+ *   gcc host_test.c -o host_test -L. -lc_fhe -Wl,-rpath,'$ORIGIN'
+ *   ./host_test
+ *
+ * Exercises public_key_bytes, encrypt_u256 -> decrypt_u256 round-trip and
+ * the error path, all through the C ABI with an embedded interpreter.
+ */
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+extern int32_t c_fhe_public_key_bytes(const uint8_t *, size_t, uint8_t **,
+                                      int64_t *);
+extern int32_t c_fhe_encrypt_u256(const uint8_t *, size_t, uint8_t **,
+                                  int64_t *);
+extern int32_t c_fhe_decrypt_u256(const uint8_t *, size_t, uint8_t **,
+                                  int64_t *);
+extern void fhe_free(const uint8_t *);
+extern const char *fhe_error(int32_t);
+
+int main(void) {
+  uint8_t *out = NULL;
+  int64_t out_len = 0;
+
+  int32_t code = c_fhe_public_key_bytes(NULL, 0, &out, &out_len);
+  if (code != 0 || out_len <= 0) {
+    fprintf(stderr, "public_key_bytes failed: %s\n", fhe_error(code));
+    return 1;
+  }
+  printf("public_key_bytes: %lld bytes\n", (long long)out_len);
+  fhe_free(out);
+
+  /* pack_two_arguments(U256(12), bytes[1,2,3]): [u32 BE 36][32B BE][3B] */
+  uint8_t input[4 + 32 + 3] = {0};
+  input[3] = 36;        /* offset_1 = 4 + 32 */
+  input[4 + 31] = 12;   /* value 12 big-endian */
+  input[36] = 1; input[37] = 2; input[38] = 3;
+
+  code = c_fhe_encrypt_u256(input, sizeof(input), &out, &out_len);
+  if (code != 0) {
+    fprintf(stderr, "encrypt failed: %s\n", fhe_error(code));
+    return 1;
+  }
+  printf("encrypt_u256: %lld bytes\n", (long long)out_len);
+
+  uint8_t *plain = NULL;
+  int64_t plain_len = 0;
+  code = c_fhe_decrypt_u256(out, (size_t)out_len, &plain, &plain_len);
+  fhe_free(out);
+  if (code != 0 || plain_len != 32 || plain[31] != 12) {
+    fprintf(stderr, "decrypt failed: code=%d len=%lld\n", code,
+            (long long)plain_len);
+    return 1;
+  }
+  printf("decrypt_u256 round-trip: 12 == %d\n", plain[31]);
+  fhe_free(plain);
+
+  /* error path: truncated input must give code 1 (UnexpectedEOF) */
+  code = c_fhe_encrypt_u256(input, 2, &out, &out_len);
+  if (code != 1) {
+    fprintf(stderr, "expected UnexpectedEOF, got %d\n", code);
+    return 1;
+  }
+  printf("error path OK: %s\n", fhe_error(code));
+  printf("HOST TEST PASSED\n");
+  return 0;
+}

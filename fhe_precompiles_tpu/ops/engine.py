@@ -32,8 +32,13 @@ from .modmath import (addmod, barrett_mu, barrett_reduce, mulmod,
 from .ntt import build_tables, intt, ntt
 
 
-def _const(x) -> jnp.ndarray:
-    return jnp.asarray(np.asarray(x, dtype=np.uint64))
+def _const(x) -> np.ndarray:
+    """Engine constants stay HOST-side numpy: XLA embeds them at compile time.
+
+    (Device-resident closure constants would be fetched back to host during
+    jit lowering -- pathological over a remote-TPU tunnel.)
+    """
+    return np.asarray(x, dtype=np.uint64)
 
 
 def _scalar_shoup(values, mods):

@@ -20,17 +20,17 @@ from .modmath import addmod, barrett_mu, mulmod, mulmod_shoup, shoup_precompute,
 
 @dataclasses.dataclass(frozen=True)
 class StackedNttTables:
-    """Twiddle tables for a stack of L moduli (device-resident constants)."""
+    """Twiddle tables for a stack of L moduli (host constants, XLA-embedded)."""
 
     n: int
-    p: jnp.ndarray              # (L, 1) uint64
-    mu: jnp.ndarray             # (L, 1) uint64 Barrett constants
-    root: jnp.ndarray           # (L, n) forward twiddles, bit-reversed layout
-    root_shoup: jnp.ndarray     # (L, n)
-    inv_root: jnp.ndarray       # (L, n)
-    inv_root_shoup: jnp.ndarray
-    n_inv: jnp.ndarray          # (L, 1)
-    n_inv_shoup: jnp.ndarray    # (L, 1)
+    p: np.ndarray               # (L, 1) uint64
+    mu: np.ndarray              # (L, 1) uint64 Barrett constants
+    root: np.ndarray            # (L, n) forward twiddles, bit-reversed layout
+    root_shoup: np.ndarray      # (L, n)
+    inv_root: np.ndarray        # (L, n)
+    inv_root_shoup: np.ndarray
+    n_inv: np.ndarray           # (L, 1)
+    n_inv_shoup: np.ndarray     # (L, 1)
 
 
 def build_tables(moduli: Sequence[int], n: int) -> StackedNttTables:
@@ -39,16 +39,19 @@ def build_tables(moduli: Sequence[int], n: int) -> StackedNttTables:
     root = np.stack([t.root_powers for t in tabs])
     inv_root = np.stack([t.inv_root_powers for t in tabs])
     n_inv = np.array([[int(t.n_inv)] for t in tabs], dtype=np.uint64)
+    # Tables stay host-side numpy: XLA embeds them as compile-time
+    # constants (device-resident closure constants would be fetched back to
+    # host at jit-lowering time -- pathological over a remote-TPU tunnel).
     return StackedNttTables(
         n=n,
-        p=jnp.asarray(p_arr),
-        mu=jnp.asarray(barrett_mu(p_arr)),
-        root=jnp.asarray(root),
-        root_shoup=jnp.asarray(shoup_precompute(root, p_arr)),
-        inv_root=jnp.asarray(inv_root),
-        inv_root_shoup=jnp.asarray(shoup_precompute(inv_root, p_arr)),
-        n_inv=jnp.asarray(n_inv),
-        n_inv_shoup=jnp.asarray(shoup_precompute(n_inv, p_arr)),
+        p=p_arr,
+        mu=barrett_mu(p_arr),
+        root=root,
+        root_shoup=shoup_precompute(root, p_arr),
+        inv_root=inv_root,
+        inv_root_shoup=shoup_precompute(inv_root, p_arr),
+        n_inv=n_inv,
+        n_inv_shoup=shoup_precompute(n_inv, p_arr),
     )
 
 
