@@ -210,13 +210,18 @@ class FheApp:
     def call(self, name: str, input_bytes: bytes):
         """Run a precompile by name, returning (error_code, payload_bytes).
 
-        Code 0 = success (the c_fhe.rs:22-56 contract).
+        Code 0 = success (the c_fhe.rs:22-56 contract).  Per-op metrics are
+        recorded when metrics.enable() has been called.
         """
+        from . import metrics
         fn = getattr(self, name, None)
         if fn is None or name.startswith("_"):
             return int(FheErrorCode.INVALID_ENCODING), b""
         try:
-            return 0, fn(input_bytes)
+            with metrics.GLOBAL.measure(name, len(input_bytes)):
+                out = fn(input_bytes)
+            metrics.GLOBAL.record_output(name, len(out))
+            return 0, out
         except FheError as e:
             return int(e.code), b""
         except Exception:
