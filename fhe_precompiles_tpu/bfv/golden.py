@@ -101,11 +101,12 @@ class BfvContext:
         self.tables = {p: get_ntt_tables(p, n) for p in
                        set(self.key_mods) | set(params.bsk_moduli)}
 
-        # Δ-scaling lookup: scale_table[j][v] = round(q*v/t) mod q_j, v in [0,t)
-        vs = np.arange(t, dtype=object)
-        scaled = (self.q * vs + t // 2) // t
-        self.scale_table = np.stack([
-            (scaled % p).astype(np.uint64) for p in self.q_mods])
+        # Δ-scaling constants: round(q*v/t) mod q_j = (Δ mod q_j)*v + fix(v)
+        # with fix(v) = floor(((q mod t)*v + t//2)/t) < t  (exact identity,
+        # since q*v + t//2 = Δ*t*v + (q mod t)*v + t//2).
+        self.delta_mod_q = np.array([params.delta % p for p in self.q_mods],
+                                    dtype=np.uint64)
+        self.q_mod_t = self.q % t
 
         # CRT composition for decrypt: q_hat_i = q/q_i, garner-style
         self.q_hat = [self.q // p for p in self.q_mods]
@@ -158,6 +159,17 @@ class BfvContext:
         out = np.empty((len(mods), self.n), dtype=np.uint64)
         for j, p in enumerate(mods):
             out[j] = np.mod(poly, np.int64(p)).astype(np.uint64)
+        return out
+
+    def _scale_plain(self, plain: np.ndarray) -> np.ndarray:
+        """round(q*m/t) mod each q_j for a mod-t poly: (n,) -> (k, n)."""
+        m = np.asarray(plain, dtype=np.uint64)
+        t = np.uint64(self.t)
+        fix = (np.uint64(self.q_mod_t) * m + t // np.uint64(2)) // t
+        out = np.empty((self.k, m.shape[-1]), dtype=np.uint64)
+        for j, p in enumerate(self.q_mods):
+            out[j] = addmod(mulmod(np.uint64(self.delta_mod_q[j]), m, p),
+                            fix, p)
         return out
 
     # ------------------------------------------------------------------
@@ -237,6 +249,7 @@ class BfvContext:
         e1 = sample_cbd(xof_e, n)
         plain_idx = np.asarray(plain, dtype=np.uint64)
 
+        dm = self._scale_plain(plain_idx)                # round(q*m/t) mod q_j
         ct = np.empty((2, self.k, n), dtype=np.uint64)
         for j, p in enumerate(self.q_mods):
             tb = self.tables[p]
@@ -245,8 +258,7 @@ class BfvContext:
             c1 = intt(mulmod(u_ntt, pk.data[1, j], p), tb)
             e0_r = np.mod(e0, np.int64(p)).astype(np.uint64)
             e1_r = np.mod(e1, np.int64(p)).astype(np.uint64)
-            dm = self.scale_table[j][plain_idx]          # round(q*m/t) mod q_j
-            ct[0, j] = addmod(addmod(c0, e0_r, p), dm, p)
+            ct[0, j] = addmod(addmod(c0, e0_r, p), dm[j], p)
             ct[1, j] = addmod(c1, e1_r, p)
         return Ciphertext(self.params, ct)
 
@@ -319,16 +331,16 @@ class BfvContext:
 
     def add_plain(self, a: Ciphertext, plain: np.ndarray) -> Ciphertext:
         out = a.data.copy()
-        idx = np.asarray(plain, dtype=np.uint64)
+        dm = self._scale_plain(plain)
         for j, p in enumerate(self.q_mods):
-            out[0, j] = addmod(out[0, j], self.scale_table[j][idx], p)
+            out[0, j] = addmod(out[0, j], dm[j], p)
         return Ciphertext(self.params, out)
 
     def sub_plain(self, a: Ciphertext, plain: np.ndarray) -> Ciphertext:
         out = a.data.copy()
-        idx = np.asarray(plain, dtype=np.uint64)
+        dm = self._scale_plain(plain)
         for j, p in enumerate(self.q_mods):
-            out[0, j] = submod(out[0, j], self.scale_table[j][idx], p)
+            out[0, j] = submod(out[0, j], dm[j], p)
         return Ciphertext(self.params, out)
 
     def plain_sub(self, plain: np.ndarray, a: Ciphertext) -> Ciphertext:

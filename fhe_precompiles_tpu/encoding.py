@@ -121,6 +121,45 @@ def decode_frac64(coeffs: np.ndarray, params: Params) -> float:
     return float(val)
 
 
+# ---- SIMD slot packing (BatchEncoder) ------------------------------------
+
+class BatchEncoder:
+    """Packed-slot plaintext encoder (SEAL BatchEncoder analog).
+
+    Requires a prime plain modulus t with 2n | t-1 (e.g. the bench.n8192
+    preset): the plaintext ring Z_t[x]/(x^n+1) then splits into n slots via
+    the mod-t negacyclic NTT, so one homomorphic op acts elementwise on n
+    packed values (BASELINE config 3).  Slot order is this framework's NTT
+    form (bit-reversed); documented, self-consistent.
+    """
+
+    def __init__(self, params: Params):
+        from .bfv.modmath import get_ntt_tables
+        t = params.t
+        if (t - 1) % (2 * params.n) != 0:
+            raise ValueError(
+                f"plain modulus {t} has no 2n-th root of unity; "
+                "choose t = 1 (mod 2n) for slot packing")
+        self._tables = get_ntt_tables(t, params.n)
+        self.params = params
+        self.slot_count = params.n
+
+    def encode(self, values: np.ndarray) -> np.ndarray:
+        """Pack n mod-t slot values into a plaintext polynomial."""
+        from .bfv.ntt import intt
+        vals = np.asarray(values, dtype=np.uint64)
+        if vals.shape[-1] != self.slot_count:
+            raise ValueError(f"expected {self.slot_count} slots")
+        if (vals >= self.params.t).any():
+            raise overflow("slot value out of range")
+        return intt(vals, self._tables)
+
+    def decode(self, poly: np.ndarray) -> np.ndarray:
+        """Unpack a plaintext polynomial into its n slot values."""
+        from .bfv.ntt import ntt as fwd
+        return fwd(np.asarray(poly, dtype=np.uint64), self._tables)
+
+
 # ---- type-tag table used by the app layer --------------------------------
 
 class PlainType:

@@ -66,7 +66,9 @@ class JaxEngine:
 
         self.q_mods = _const(np.array(g.q_mods).reshape(k, 1))
         self.mu_q = _const(barrett_mu(np.array(g.q_mods).reshape(k, 1)))
-        self.scale_table = _const(g.scale_table)            # (k, t)
+        self.delta_mod_q = _scalar_shoup(
+            g.delta_mod_q.reshape(k, 1), np.array(g.q_mods).reshape(k, 1))
+        self.q_mod_t = int(g.q_mod_t)
 
         # ---- BEHZ constants ------------------------------------------
         bsk_mt = g.Bsk + [g.m_tilde]
@@ -153,9 +155,14 @@ class JaxEngine:
         return jax.jit(lambda a: negmod(a, self.q_mods))
 
     def _scaled_plain(self, m: jnp.ndarray) -> jnp.ndarray:
-        """round(q*m/t) per limb: (..., n) plain -> (..., k, n)."""
-        st = jnp.take(self.scale_table, m.astype(jnp.int64), axis=1)
-        return jnp.moveaxis(st, 0, -2)
+        """round(q*m/t) per limb: (..., n) plain -> (..., k, n).
+
+        Same exact identity as golden._scale_plain: (delta mod q_j)*m + fix.
+        """
+        t = jnp.uint64(self.params.t)
+        fix = (jnp.uint64(self.q_mod_t) * m + t // jnp.uint64(2)) // t
+        term = mulmod_shoup(m[..., None, :], *self.delta_mod_q, self.q_mods)
+        return addmod(term, fix[..., None, :], self.q_mods)
 
     @functools.cached_property
     def _add_plain(self):

@@ -61,11 +61,16 @@ class RequestStream:
             if pk.relin is None:
                 raise ValueError("mul requests need relin keys in the pk")
             rk = self._replicate(jnp.asarray(pk.relin.data))
+        dp = self.mesh.shape["dp"] if self.mesh is not None else 1
         for op, idxs in groups.items():
-            a = self._place(jnp.asarray(
-                np.stack([requests[i].a for i in idxs])))
-            b = self._place(jnp.asarray(
-                np.stack([requests[i].b for i in idxs])))
+            a_np = np.stack([requests[i].a for i in idxs])
+            b_np = np.stack([requests[i].b for i in idxs])
+            if len(idxs) % dp:  # pad the batch up to the data-parallel width
+                pad = dp - len(idxs) % dp
+                a_np = np.concatenate([a_np, np.repeat(a_np[:1], pad, 0)])
+                b_np = np.concatenate([b_np, np.repeat(b_np[:1], pad, 0)])
+            a = self._place(jnp.asarray(a_np))
+            b = self._place(jnp.asarray(b_np))
             if op == "add":
                 out = eng._add(a, b)
             elif op == "sub":
