@@ -172,6 +172,49 @@ def save_ciphertext(ct: Ciphertext) -> bytes:
     return w.getvalue()
 
 
+# --------------------------------------------------------------------------
+# Fast native key store (raw RNS arrays; SURVEY.md section 5 "checkpoint")
+# --------------------------------------------------------------------------
+
+def save_keys_native(path: str, pk: Optional[PublicKey] = None,
+                     sk: Optional[SecretKey] = None) -> None:
+    """Device-load-friendly key store: raw uint64 RNS arrays, no compression.
+
+    Complements the reference-format (bincode+SEAL+zstd) codec above: this is
+    what a serving fleet mmaps at startup.
+    """
+    params = (pk or sk).params
+    arrays = {
+        "n": np.array(params.n, dtype=np.uint64),
+        "coeff_modulus": np.array(params.coeff_modulus, dtype=np.uint64),
+        "plain_modulus": np.array(params.t, dtype=np.uint64),
+    }
+    if pk is not None:
+        arrays["pk"] = pk.data
+        if pk.relin is not None:
+            arrays["relin"] = pk.relin.data
+    if sk is not None:
+        arrays["sk"] = sk.s_ntt
+    np.savez(path, **arrays)
+
+
+def load_keys_native(path: str
+                     ) -> Tuple[Optional[PublicKey], Optional[SecretKey]]:
+    with np.load(path) as z:
+        params = Params(
+            poly_modulus_degree=int(z["n"]),
+            coeff_modulus=tuple(int(m) for m in z["coeff_modulus"]),
+            plain_modulus=int(z["plain_modulus"]))
+        pk = sk = None
+        if "pk" in z:
+            pk = PublicKey(params, z["pk"].astype(np.uint64))
+            if "relin" in z:
+                pk.relin = RelinKeys(params, z["relin"].astype(np.uint64))
+        if "sk" in z:
+            sk = SecretKey(params, z["sk"].astype(np.uint64))
+    return pk, sk
+
+
 # Attach convenience methods so pack.ObjectCodec can round-trip these types.
 def _install_methods():
     Ciphertext.to_bytes = lambda self: save_ciphertext(self)

@@ -127,3 +127,15 @@ def test_ciphertext_save_load_roundtrip():
     ct2 = keyio.load_ciphertext(keyio.save_ciphertext(ct))
     assert np.array_equal(ct2.data, ct.data)
     assert decode_unsigned(ctx.decrypt(ct2, sk), TESTNET_ONE, 64) == 5
+
+
+def test_native_key_store_roundtrip(tmp_path):
+    ctx = BfvContext(TESTNET_ONE)
+    pk, sk = ctx.generate_keys(seed=b"\x74" * 64)
+    path = str(tmp_path / "keys.npz")
+    keyio.save_keys_native(path, pk, sk)
+    pk2, sk2 = keyio.load_keys_native(path)
+    assert pk2.params == TESTNET_ONE
+    assert np.array_equal(pk2.data, pk.data)
+    assert np.array_equal(pk2.relin.data, pk.relin.data)
+    assert np.array_equal(sk2.s_ntt, sk.s_ntt)
