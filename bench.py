@@ -35,17 +35,18 @@ def main():
     eng = JaxEngine(TESTNET_ONE, golden=ctx)
     pk, sk = ctx.generate_keys(seed=b"\x42" * 64)
 
-    B = 64
+    B = 128               # measured throughput sweet spot on v5e
+    NB = 8                # distinct ciphertexts, tiled up to B
     plains = np.stack([encode_unsigned((i % 50) + 1, TESTNET_ONE, 64)
-                       for i in range(B)])
-    seeds = [bytes([i % 251 + 1]) * 64 for i in range(B)]
+                       for i in range(NB)])
+    seeds = [bytes([i % 251 + 1]) * 64 for i in range(NB)]
     t0 = time.time()
-    batch = eng.encrypt_batch(plains, pk, seeds)
-    batch.block_until_ready()
-    log(f"encrypt_batch({B}): {time.time() - t0:.2f}s")
+    batch = np.asarray(eng.encrypt_batch(plains, pk, seeds))
+    log(f"encrypt_batch({NB}): {time.time() - t0:.2f}s")
+    tiled = np.tile(batch, (B // NB, 1, 1, 1))
 
-    a = jnp.asarray(batch)
-    b = jnp.asarray(batch)
+    a = jnp.asarray(tiled)
+    b = jnp.asarray(tiled)
     rk = jnp.asarray(pk.relin.data)
 
     # compile
