@@ -1,0 +1,159 @@
+"""Full benchmark suite: every BASELINE.md config, one JSON line per metric.
+
+Usage:  python benchmarks/report.py [--quick]
+
+Configs (BASELINE.json):
+  1. BFV ciphertext add, n=1024, single RNS modulus
+  2. BFV ct-ct multiply + relinearization, n=4096 (headline; also in bench.py)
+  3. Packed slot arithmetic (encode -> batched add/mul -> decode), n=8192
+  4. Keyswitching + testnet public-key flow (relinearize at testnet params)
+  5. Batched precompile request stream: 10k mixed add/mul ops
+  +  NTT throughput (transforms/sec, n=4096)
+
+Writes benchmarks/RESULTS.md with the measured table.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(fn, iters, *args):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def rand_ct_batch(ctx, B, rng):
+    n = ctx.n
+    return np.stack([
+        np.stack([rng.integers(0, p, size=(n,), dtype=np.uint64)
+                  for p in ctx.q_mods]) for _ in range(2 * B)
+    ]).reshape(B, 2, len(ctx.q_mods), n)
+
+
+def main():
+    quick = "--quick" in sys.argv
+    import jax
+    import jax.numpy as jnp
+
+    from fhe_precompiles_tpu.bfv import BfvContext
+    from fhe_precompiles_tpu.encoding import BatchEncoder, encode_unsigned
+    from fhe_precompiles_tpu.ops.engine import JaxEngine
+    from fhe_precompiles_tpu.ops.ntt import build_tables, ntt as sntt
+    from fhe_precompiles_tpu.params import (BENCH_N1024, BENCH_N8192,
+                                            TESTNET_ONE)
+    from fhe_precompiles_tpu.parallel import RequestStream
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+    rng = np.random.default_rng(0)
+    results = []
+
+    def emit(metric, value, unit, baseline=None):
+        row = {"metric": metric, "value": round(value, 2), "unit": unit}
+        if baseline:
+            row["vs_baseline"] = round(value / baseline, 4)
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    # ---- config 1: ct add, n=1024, single modulus --------------------
+    ctx1 = BfvContext(BENCH_N1024)
+    eng1 = JaxEngine(BENCH_N1024, golden=ctx1)
+    B = 256 if quick else 1024
+    a1 = jnp.asarray(rand_ct_batch(ctx1, B, rng))
+    dt = timeit(eng1._add, 20, a1, a1)
+    emit("bfv_add_n1024_ops_per_sec", B / dt, "ops/s/chip")
+
+    # ---- config 2 + 4: mul + relin, n=4096 testnet -------------------
+    ctx = BfvContext(TESTNET_ONE)
+    eng = JaxEngine(TESTNET_ONE, golden=ctx)
+    pk, sk = ctx.generate_keys(seed=b"\x42" * 64)
+    rk = jnp.asarray(pk.relin.data)
+    B = 32 if quick else 128
+    a = jnp.asarray(rand_ct_batch(ctx, B, rng))
+    dt = timeit(eng._mul_relin, 10, a, a, rk)
+    emit("bfv_mul_relin_n4096_ops_per_sec", B / dt, "ops/s/chip", 1000.0)
+
+    ct3 = eng._multiply(a, a)
+    jax.block_until_ready(ct3)
+    dt = timeit(eng._relinearize, 10, ct3, rk)
+    emit("bfv_keyswitch_n4096_ops_per_sec", B / dt, "ops/s/chip")
+
+    # ---- NTT throughput, n=4096 --------------------------------------
+    tbq = build_tables(ctx.q_mods, ctx.n)
+    x = jnp.asarray(rand_ct_batch(ctx, B, rng))
+    f = jax.jit(lambda v: sntt(v, tbq))
+    dt = timeit(f, 20, x)
+    emit("ntt_n4096_transforms_per_sec", B * 2 * len(ctx.q_mods) / dt,
+         "transforms/s/chip")
+
+    # ---- config 3: packed slot arithmetic, n=8192 --------------------
+    ctx8 = BfvContext(BENCH_N8192)
+    eng8 = JaxEngine(BENCH_N8192, golden=ctx8)
+    enc8 = BatchEncoder(BENCH_N8192)
+    pk8, sk8 = ctx8.generate_keys(seed=b"\x43" * 64)
+    vals = rng.integers(0, 1000, size=(2, enc8.slot_count), dtype=np.uint64)
+    t0 = time.time()
+    cta = ctx8.encrypt(enc8.encode(vals[0]), pk8, b"\x44" * 64)
+    ctb = ctx8.encrypt(enc8.encode(vals[1]), pk8, b"\x45" * 64)
+    log(f"n8192 encode+encrypt: {time.time() - t0:.1f}s")
+    B8 = 8 if quick else 32
+    a8 = jnp.asarray(np.tile(cta.data[None], (B8, 1, 1, 1)))
+    b8 = jnp.asarray(np.tile(ctb.data[None], (B8, 1, 1, 1)))
+    dt = timeit(eng8._add, 20, a8, b8)
+    emit("packed_add_n8192_slotops_per_sec",
+         B8 * enc8.slot_count / dt, "slot-ops/s/chip")
+    rk8 = jnp.asarray(pk8.relin.data)
+    dt = timeit(eng8._mul_relin, 5, a8, b8, rk8)
+    emit("packed_mul_relin_n8192_slotops_per_sec",
+         B8 * enc8.slot_count / dt, "slot-ops/s/chip")
+    # correctness of the packed pipeline end-to-end
+    out = np.asarray(eng8._mul_relin(a8, b8, rk8))[0]
+    from fhe_precompiles_tpu.bfv.golden import Ciphertext
+    got = enc8.decode(ctx8.decrypt(Ciphertext(BENCH_N8192, out), sk8))
+    want = vals[0] * vals[1] % np.uint64(BENCH_N8192.t)
+    assert np.array_equal(got, want), "packed mul mismatch"
+    log("packed n8192 end-to-end verified")
+
+    # ---- config 5: 10k mixed request stream --------------------------
+    stream = RequestStream(eng)
+    base_cts = [ctx.encrypt(encode_unsigned(v, TESTNET_ONE, 64), pk,
+                            bytes([v]) * 64) for v in (2, 3, 4, 5)]
+    NREQ = 1000 if quick else 10_000
+    reqs = stream.make_mixed_requests(base_cts, NREQ, seed=1)
+    stream.run(reqs[:64], pk)          # warm the op kernels
+    t0 = time.time()
+    stream.run(reqs, pk)
+    dt = time.time() - t0
+    emit("mixed_stream_10k_ops_per_sec", NREQ / dt, "ops/s/chip")
+
+    # ---- write RESULTS.md --------------------------------------------
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "RESULTS.md")
+    with open(out_path, "w") as f:
+        f.write("# Benchmark results\n\n")
+        f.write(f"Device: {dev.platform} {dev.device_kind}\n\n")
+        f.write("| Metric | Value | Unit |\n|---|---|---|\n")
+        for r in results:
+            f.write(f"| {r['metric']} | {r['value']:,} | {r['unit']} |\n")
+    log("wrote benchmarks/RESULTS.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bfv.golden import BfvContext, Ciphertext, PublicKey, RelinKeys
+from ..bfv.modmath import invmod
 from ..params import Params
 from ..sampling import (Blake2Xof, DOMAIN_ERROR, DOMAIN_TERNARY, sample_cbd,
                         sample_ternary)
@@ -124,6 +125,30 @@ class JaxEngine:
         self.prod_B_mod_q = _scalar_shoup(
             np.array(g.prod_B_mod_q).reshape(k, 1),
             np.array(g.q_mods).reshape(k, 1))
+
+        # ---- RNS decryption constants (t-gamma scale-and-round) ------
+        gamma = params.gamma
+        self.gamma = gamma
+        t = params.t
+        self._dec_tg = [t, gamma]
+        # |gamma*t|_{q_i} folded with q_hat_inv_i into one scalar per limb
+        gt_qhinv = np.array(
+            [(gamma * t % p) * g.q_hat_inv[i] % p
+             for i, p in enumerate(g.q_mods)], dtype=np.uint64)
+        self.dec_gt_qhinv = _scalar_shoup(
+            gt_qhinv.reshape(k, 1), np.array(g.q_mods).reshape(k, 1))
+        # q_hat_i * (-q)^{-1} folded, per target x in {t, gamma}
+        dec_hats = np.array(
+            [[int(g.q_hat[i]) % x * ((-invmod(self.params.q % x, x)) % x) % x
+              for i in range(k)] for x in (t, gamma)], dtype=np.uint64)
+        tg = np.array([t, gamma], dtype=np.uint64).reshape(2, 1)
+        self.dec_hats = (_const(dec_hats[..., None]),
+                         _const(shoup_precompute(dec_hats[..., None],
+                                                 tg[:, None])))
+        self.dec_tg = _const(tg)
+        self.inv_gamma_mod_t = _scalar_shoup(
+            np.array([[invmod(gamma % t, t)]]), np.array([[t]]))
+        self.mu_t = _const(barrett_mu(np.array([[t]])))
 
         # ---- keyswitch constants -------------------------------------
         if params.special_modulus is not None:
@@ -327,6 +352,51 @@ class JaxEngine:
             return self._relinearize.__wrapped__(
                 self._multiply.__wrapped__(a, b), rk)
         return jax.jit(f)
+
+    # ==================================================================
+    # batched RNS decryption (t-gamma scale-and-round, exact for valid cts)
+    # ==================================================================
+    @functools.cached_property
+    def _decrypt_core(self):
+        def f(ct, s_ntt):
+            """(B, 2, k, n) ct + s_ntt (k, n) -> (B, n) plaintext mod t.
+
+            dot = c0 + c1*s per limb, then m = round(t*dot/q) mod t via the
+            gamma-correction technique -- all in RNS, no CRT bigints.
+            """
+            c1s = intt(mulmod(ntt(ct[:, 1], self.tb_q), s_ntt,
+                              self.q_mods, self.mu_q), self.tb_q)
+            dot = addmod(ct[:, 0], c1s, self.q_mods)       # (B, k, n)
+            # y_i = |dot_i * (gamma*t) * q_hat_inv_i|_{q_i}
+            y = mulmod_shoup(dot, *self.dec_gt_qhinv, self.q_mods)
+            # s_{t,gamma} = sum_i y_i * [q_hat_i * (-q^-1)]_x  mod x
+            yb = y[..., None, :, :]                         # (B,1,k,n)
+            w, ws = self.dec_hats
+            terms = mulmod_shoup(barrett_reduce(
+                yb, self.dec_tg[..., None, :],
+                jnp.asarray(barrett_mu(np.asarray(self.dec_tg)))[..., None, :]),
+                w, ws, self.dec_tg[..., None, :])
+            acc = terms[..., 0, :]
+            for i in range(1, self.k):
+                acc = addmod(acc, terms[..., i, :], self.dec_tg)
+            s_t, s_g = acc[..., 0, :], acc[..., 1, :]       # (B, n)
+            t64 = jnp.uint64(self.params.t)
+            g64 = jnp.uint64(self.gamma)
+            # center s_gamma and subtract mod t
+            big = s_g > (g64 >> jnp.uint64(1))
+            pos = barrett_reduce(s_g, t64, self.mu_t[0, 0])
+            neg = submod(jnp.uint64(0),
+                         barrett_reduce(g64 - s_g, t64, self.mu_t[0, 0]), t64)
+            corr = jnp.where(big, neg, pos)
+            m = submod(s_t, corr, t64)
+            return mulmod_shoup(m, self.inv_gamma_mod_t[0][0, 0],
+                                self.inv_gamma_mod_t[1][0, 0], t64)
+        return jax.jit(f)
+
+    def decrypt_batch(self, cts: jnp.ndarray, sk) -> jnp.ndarray:
+        """Batched decrypt: (B, 2, k, n) -> (B, n) mod-t polys (device)."""
+        s_ntt = jnp.asarray(sk.s_ntt[:self.k])
+        return self._decrypt_core(jnp.asarray(cts), s_ntt)
 
     # ==================================================================
     # batched deterministic encryption (device math, host sampling)

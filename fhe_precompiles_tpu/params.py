@@ -155,6 +155,14 @@ class Params:
         """BEHZ redundant Montgomery modulus (power of two, coprime to all)."""
         return 1 << 16
 
+    @functools.cached_property
+    def gamma(self) -> int:
+        """Correction prime for RNS decryption scale-and-round (t-gamma
+        technique); distinct from every other modulus in use."""
+        aux = self.aux_moduli
+        return ntt_friendly_primes(self.n, len(aux) + 2,
+                                   exclude=self.coeff_modulus)[-1]
+
     @property
     def bsk_moduli(self) -> Tuple[int, ...]:
         return self.aux_moduli + (self.m_sk,)

@@ -103,3 +103,17 @@ def test_batched_mul_relin_matches_per_element(ctx, eng, keys):
     for i in range(B):
         want = ctx.mul_relin(cts_a[i], cts_b[i], pk.relin)
         assert np.array_equal(out[i], want.data)
+
+
+def test_device_decrypt_matches_golden(ctx, eng, keys, cts):
+    pk, sk = keys
+    a, b = cts
+    batch = np.stack([a.data, b.data])
+    out = np.asarray(eng.decrypt_batch(batch, sk))
+    assert np.array_equal(out[0], ctx.decrypt(a, sk))
+    assert np.array_equal(out[1], ctx.decrypt(b, sk))
+    # post-multiplication noise profile too
+    prod = ctx.mul_relin(a, b, pk.relin)
+    out2 = np.asarray(eng.decrypt_batch(prod.data[None], sk))[0]
+    assert np.array_equal(out2, ctx.decrypt(prod, sk))
+    assert decode_unsigned(out2, TESTNET_ONE, 256) == 64
