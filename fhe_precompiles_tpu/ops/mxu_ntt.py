@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bfv.modmath import get_ntt_tables, invmod
-from .modmath import addmod, barrett_mu, mulmod_shoup, shoup_precompute
+from .modmath import (addmod, barrett_mu, barrett_reduce, mulmod_shoup,
+                      shoup_precompute)
 
 NDIG = 5          # base-256 digits per <2**37 residue
 CHUNK = 64        # max exact bf16/f32 contraction length
@@ -231,24 +232,36 @@ def _traced_digits(x: jnp.ndarray) -> list:
 def _digit_matmul_left(w_dig: np.ndarray, x: jnp.ndarray,
                        tb: MxuNttTables) -> jnp.ndarray:
     """Exact (W @ M) mod p on the MXU.  w_dig: (L, NDIG, R, R) host;
-    x: (..., L, R, C) u64 traced.  Returns (..., L, R, C) u64 < p."""
+    x: (..., L, R, C) u64 traced.  Returns (..., L, R, C) u64 < p.
+
+    The NDIG lhs digit planes are stacked into one (NDIG*R, R) operand so
+    each rhs digit plane needs a single big matmul; digit-pair products are
+    then shift-accumulated into two u64 words (see _recombine2).
+    """
     xd = _traced_digits(x)
-    R = w_dig.shape[-1]
-    buckets = [None] * (2 * NDIG - 1)
-    for da in range(NDIG):
-        for db in range(NDIG):
-            acc32 = None
-            for j0 in range(0, R, CHUNK):
-                part = jnp.einsum(
-                    "lij,...ljc->...lic",
-                    jnp.asarray(w_dig[:, da, :, j0:j0 + CHUNK]),
-                    xd[db][..., j0:j0 + CHUNK, :],
-                    preferred_element_type=jnp.float32)
-                piece = part.astype(jnp.uint32)
-                acc32 = piece if acc32 is None else acc32 + piece
+    L, _, R, _ = w_dig.shape
+    w_stack = w_dig.reshape(L, NDIG * R, R)
+    v_lo = v_hi = None
+    for db in range(NDIG):
+        acc32 = None
+        for j0 in range(0, R, CHUNK):
+            part = jnp.einsum(
+                "lkj,...ljc->...lkc",
+                jnp.asarray(w_stack[:, :, j0:j0 + CHUNK]),
+                xd[db][..., j0:j0 + CHUNK, :],
+                preferred_element_type=jnp.float32)
+            piece = part.astype(jnp.uint32)
+            acc32 = piece if acc32 is None else acc32 + piece
+        for da in range(NDIG):
+            v = acc32[..., da * R:(da + 1) * R, :].astype(jnp.uint64)
             s = da + db
-            buckets[s] = acc32 if buckets[s] is None else buckets[s] + acc32
-    return _recombine(buckets, tb)
+            if s < NDIG:
+                v_lo = (v << jnp.uint64(8 * s)) if v_lo is None \
+                    else v_lo + (v << jnp.uint64(8 * s))
+            else:
+                sh = jnp.uint64(8 * (s - NDIG))
+                v_hi = (v << sh) if v_hi is None else v_hi + (v << sh)
+    return _recombine2(v_lo, v_hi, tb)
 
 
 def _digit_matmul_right(x: jnp.ndarray, wT_dig: np.ndarray,
@@ -256,36 +269,47 @@ def _digit_matmul_right(x: jnp.ndarray, wT_dig: np.ndarray,
     """Exact (M @ W^T) mod p: x (..., L, R, C), wT_dig (L, NDIG, C, C) with
     wT[c, i] = W[i, c], contracting over c."""
     xd = _traced_digits(x)
-    C = wT_dig.shape[-1]
-    buckets = [None] * (2 * NDIG - 1)
-    for da in range(NDIG):
-        for db in range(NDIG):
-            acc32 = None
-            for j0 in range(0, C, CHUNK):
-                part = jnp.einsum(
-                    "...lrj,lji->...lri",
-                    xd[db][..., :, j0:j0 + CHUNK],
-                    jnp.asarray(wT_dig[:, da, j0:j0 + CHUNK, :]),
-                    preferred_element_type=jnp.float32)
-                piece = part.astype(jnp.uint32)
-                acc32 = piece if acc32 is None else acc32 + piece
+    L, _, C, _ = wT_dig.shape
+    w_stack = np.ascontiguousarray(
+        wT_dig.transpose(0, 2, 1, 3)).reshape(L, C, NDIG * C)
+    v_lo = v_hi = None
+    for db in range(NDIG):
+        acc32 = None
+        for j0 in range(0, C, CHUNK):
+            part = jnp.einsum(
+                "...lrj,ljk->...lrk",
+                xd[db][..., :, j0:j0 + CHUNK],
+                jnp.asarray(w_stack[:, j0:j0 + CHUNK, :]),
+                preferred_element_type=jnp.float32)
+            piece = part.astype(jnp.uint32)
+            acc32 = piece if acc32 is None else acc32 + piece
+        for da in range(NDIG):
+            v = acc32[..., da * C:(da + 1) * C].astype(jnp.uint64)
             s = da + db
-            buckets[s] = acc32 if buckets[s] is None else buckets[s] + acc32
-    return _recombine(buckets, tb)
+            if s < NDIG:
+                v_lo = (v << jnp.uint64(8 * s)) if v_lo is None \
+                    else v_lo + (v << jnp.uint64(8 * s))
+            else:
+                sh = jnp.uint64(8 * (s - NDIG))
+                v_hi = (v << sh) if v_hi is None else v_hi + (v << sh)
+    return _recombine2(v_lo, v_hi, tb)
 
 
-def _recombine(buckets, tb: MxuNttTables) -> jnp.ndarray:
-    """sum_s bucket_s * (256^s mod p) mod p on the VPU (Shoup multiplies)."""
-    out = None
-    for s, b in enumerate(buckets):
-        b64 = b.astype(jnp.uint64)
-        if s == 0:
-            term = b64  # 256^0 = 1; bucket < 2**25 < p
-        else:
-            term = mulmod_shoup(b64, tb.pow_dig[:, s], tb.pow_dig_shoup[:, s],
-                                tb.p[..., None])
-        out = term if out is None else addmod(out, term, tb.p[..., None])
-    return out
+def _recombine2(v_lo, v_hi, tb: MxuNttTables) -> jnp.ndarray:
+    """value = v_lo + v_hi * 2**(8*NDIG) mod p, with v_lo < 2**60.
+
+    Bounds: v_lo accumulates digit-sums (< 2**25) shifted by at most
+    8*(NDIG-1)=32 bits, times <= NDIG pair-contributions -> < 2**60; v_hi
+    shifted by at most 24 bits -> < 2**52.  Two Barrett reductions + one
+    Shoup multiply replace the former 9 bucket multiplies.
+    """
+    p = tb.p[..., None]
+    mu = tb.mu[..., None]
+    r_lo = barrett_reduce(v_lo, p, mu)
+    r_hi = barrett_reduce(v_hi, p, mu)
+    shifted = mulmod_shoup(r_hi, tb.pow_dig[:, NDIG],
+                           tb.pow_dig_shoup[:, NDIG], p)
+    return addmod(r_lo, shifted, p)
 
 
 def ntt(x: jnp.ndarray, tb: MxuNttTables) -> jnp.ndarray:
