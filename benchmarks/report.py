@@ -50,6 +50,8 @@ def rand_ct_batch(ctx, B, rng):
 def main():
     quick = "--quick" in sys.argv
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
 
     from fhe_precompiles_tpu.bfv import BfvContext
