@@ -21,6 +21,8 @@ def log(*a):
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
 
     from fhe_precompiles_tpu.bfv import BfvContext
@@ -37,25 +39,23 @@ def main():
 
     B = 128               # measured throughput sweet spot on v5e
     NB = 8                # distinct ciphertexts, tiled up to B
-    plains = np.stack([encode_unsigned((i % 50) + 1, TESTNET_ONE, 64)
-                       for i in range(NB)])
-    seeds = [bytes([i % 251 + 1]) * 64 for i in range(NB)]
     t0 = time.time()
-    batch = np.asarray(eng.encrypt_batch(plains, pk, seeds))
-    log(f"encrypt_batch({NB}): {time.time() - t0:.2f}s")
+    batch = np.stack([
+        ctx.encrypt(encode_unsigned((i % 50) + 1, TESTNET_ONE, 64), pk,
+                    bytes([i % 251 + 1]) * 64).data
+        for i in range(NB)])
+    log(f"encrypt x{NB} (host golden): {time.time() - t0:.2f}s")
     tiled = np.tile(batch, (B // NB, 1, 1, 1))
 
     a = jnp.asarray(tiled)
     b = jnp.asarray(tiled)
     rk = jnp.asarray(pk.relin.data)
 
-    # compile
+    # compile + correctness check
     t0 = time.time()
     out = eng._mul_relin(a, b, rk)
     out.block_until_ready()
     log(f"mul_relin compile+first run: {time.time() - t0:.2f}s")
-
-    # verify one element end-to-end before timing
     from fhe_precompiles_tpu.bfv.golden import Ciphertext
     from fhe_precompiles_tpu.encoding import decode_unsigned
     got = decode_unsigned(
@@ -63,13 +63,28 @@ def main():
         TESTNET_ONE, 64)
     assert got == 16, f"bench pipeline broken: {got}"
 
-    # timed runs
-    iters = 5
-    t0 = time.time()
-    for _ in range(iters):
-        out = eng._mul_relin(a, b, rk)
-    out.block_until_ready()
-    dt = (time.time() - t0) / iters
+    # Timing methodology: one dispatch running a data-dependent chain of K
+    # batches via lax.scan, returning a scalar digest; the (K_hi - K_lo)
+    # slope cancels dispatch/transfer latency (essential on remote-attached
+    # chips, honest everywhere).
+    def make_chain(K):
+        @jax.jit
+        def f(x, rk):
+            def body(c, _):
+                return eng._mul_relin.__wrapped__(c, c, rk)[:, :2], None
+            y, _ = jax.lax.scan(body, x, None, length=K)
+            return jnp.sum(y)
+        return f
+
+    K_LO, K_HI = 4, 24
+    times = {}
+    for K in (K_LO, K_HI):
+        f = make_chain(K)
+        np.asarray(f(a, rk))            # compile + sync
+        t0 = time.time()
+        np.asarray(f(a, rk))
+        times[K] = time.time() - t0
+    dt = (times[K_HI] - times[K_LO]) / (K_HI - K_LO)
     ops_per_sec = B / dt
     log(f"batch={B}: {dt*1e3:.1f} ms/batch -> {ops_per_sec:.1f} mul+relin/s")
 

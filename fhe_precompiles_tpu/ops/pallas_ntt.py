@@ -129,7 +129,9 @@ def _digit_planes_from_pair(lo, hi):
     m = jnp.uint32(0xFF)
     planes = [lo & m, (lo >> jnp.uint32(8)) & m, (lo >> jnp.uint32(16)) & m,
               (lo >> jnp.uint32(24)) & m, hi & m]
-    return [p.astype(jnp.float32).astype(jnp.bfloat16) for p in planes]
+    # Mosaic has no u32->f32 cast; digits are < 256, so bitcast through i32.
+    return [jax.lax.bitcast_convert_type(q, jnp.int32)
+            .astype(jnp.float32).astype(jnp.bfloat16) for q in planes]
 
 
 def _matmul_recombine(w_stack_ref, d_planes, scal, left: bool):
@@ -150,7 +152,9 @@ def _matmul_recombine(w_stack_ref, d_planes, scal, left: bool):
         else:
             acc = jnp.dot(d_planes[db], w,
                           preferred_element_type=jnp.float32)
-        accu = acc.astype(jnp.uint32)
+        # f32 -> i32 is supported; values < 2**23 so the bitcast to u32 is
+        # value-preserving
+        accu = jax.lax.bitcast_convert_type(acc.astype(jnp.int32), jnp.uint32)
         for da in range(NDIG):
             if left:
                 piece = accu[da * K:(da + 1) * K, :]
@@ -177,70 +181,48 @@ def _matmul_recombine(w_stack_ref, d_planes, scal, left: bool):
     return _cond_sub(out, p)
 
 
-def _ntt_kernel(scal_ref, a_ref, b0t_ref, t_ref, ts_ref, xlo_ref, xhi_ref,
-                olo_ref, ohi_ref):
-    """Forward NTT for one limb tile: x as (R, TBC) u32 pairs."""
-    def sc(i):
-        return (jnp.full((1, 1), scal_ref[0, 0, 2 * i], jnp.uint32),
-                jnp.full((1, 1), scal_ref[0, 0, 2 * i + 1], jnp.uint32))
-    scal = tuple(sc(i) for i in range(4))   # p, mu, pw40, pw40s
+def _phase_kernel_factory(grid_mode: str):
+    """Kernel: optional twiddle grid + one digit matmul phase (left).
 
-    x_lo, x_hi = xlo_ref[0], xhi_ref[0]
-    tg, tgs = t_ref[0], ts_ref[0]
+    grid_mode: "none" | "pre" (grid before matmul) | "post" (after).
+    Data layout inside: (K_in, TB*J) u32 pairs; weights (NDIG*K_out, K_in).
+    """
 
-    # phase A: columns transform = A_stack @ M
-    d = _digit_planes_from_pair(x_lo, x_hi)
-    y = _matmul_recombine(a_ref[0], d, scal, left=True)
+    def kernel(scal_ref, w_ref, g_ref, gs_ref, xlo_ref, xhi_ref,
+               olo_ref, ohi_ref):
+        def sc(i):
+            return (jnp.full((1, 1), scal_ref[0, 0, 2 * i], jnp.uint32),
+                    jnp.full((1, 1), scal_ref[0, 0, 2 * i + 1], jnp.uint32))
+        scal = tuple(sc(i) for i in range(4))   # p, mu, pw40, pw40s
 
-    # twiddle grid: T is (R, C) broadcast across the TB tile
-    R, TBC = x_lo.shape
-    C = tg.shape[1]
-    TB = TBC // C
-    t_pair = (jnp.tile(tg[:R, :], (1, TB)), jnp.tile(tg[R:, :], (1, TB)))
-    ts_pair = (jnp.tile(tgs[:R, :], (1, TB)), jnp.tile(tgs[R:, :], (1, TB)))
-    y = _shoup_mulmod(y, t_pair, ts_pair, scal[0])
+        x = (xlo_ref[0], xhi_ref[0])
+        g = g_ref[0]
+        gs = gs_ref[0]
+        J = g.shape[1]
 
-    # phase B: per-row transform = Y_rows @ B0^T (digit-stacked on the right)
-    d2 = _digit_planes_from_pair(y[0], y[1])
-    # rows of the (R, TB*C) layout are already matrix rows; the right matmul
-    # contracts the C axis, so reorganize (R, TB, C) -> (R*TB, C)
-    d2 = [q.reshape(R, TB, C).reshape(R * TB, C) for q in d2]
-    z = _matmul_recombine(b0t_ref[0], d2, scal, left=False)
-    olo_ref[0] = z[0].reshape(R, TB, C).reshape(R, TBC)
-    ohi_ref[0] = z[1].reshape(R, TB, C).reshape(R, TBC)
+        def apply_grid(v):
+            K = v[0].shape[0]
+            TB = v[0].shape[1] // J
+            g_pair = (jnp.tile(g[:K, :], (1, TB)),
+                      jnp.tile(g[K:, :], (1, TB)))
+            gs_pair = (jnp.tile(gs[:K, :], (1, TB)),
+                       jnp.tile(gs[K:, :], (1, TB)))
+            return _shoup_mulmod(v, g_pair, gs_pair, scal[0])
+
+        if grid_mode == "pre":
+            x = apply_grid(x)
+        d = _digit_planes_from_pair(x[0], x[1])
+        out = _matmul_recombine(w_ref[0], d, scal, left=True)
+        if grid_mode == "post":
+            out = apply_grid(out)
+        olo_ref[0] = out[0]
+        ohi_ref[0] = out[1]
+
+    return kernel
 
 
-def _intt_kernel(scal_ref, ai_ref, b0it_ref, ti_ref, tis_ref, xlo_ref,
-                 xhi_ref, olo_ref, ohi_ref):
-    """Inverse NTT (diag-left factorization: grid after the row matmul)."""
-    def sc(i):
-        return (jnp.full((1, 1), scal_ref[0, 0, 2 * i], jnp.uint32),
-                jnp.full((1, 1), scal_ref[0, 0, 2 * i + 1], jnp.uint32))
-    scal = tuple(sc(i) for i in range(4))
-
-    x_lo, x_hi = xlo_ref[0], xhi_ref[0]
-    tg, tgs = ti_ref[0], tis_ref[0]
-    R, TBC = x_lo.shape
-    C = tg.shape[1]
-    TB = TBC // C
-
-    # phase 1: per-row transform M @ B0i^T (contraction over c)
-    d = _digit_planes_from_pair(x_lo, x_hi)
-    d = [q.reshape(R, TB, C).reshape(R * TB, C) for q in d]
-    z = _matmul_recombine(b0it_ref[0], d, scal, left=False)
-    z = (z[0].reshape(R, TB, C).reshape(R, TBC),
-         z[1].reshape(R, TB, C).reshape(R, TBC))
-
-    # twiddle grid (diag-left: applied on the matmul output)
-    t_pair = (jnp.tile(tg[:R, :], (1, TB)), jnp.tile(tg[R:, :], (1, TB)))
-    ts_pair = (jnp.tile(tgs[:R, :], (1, TB)), jnp.tile(tgs[R:, :], (1, TB)))
-    z = _shoup_mulmod(z, t_pair, ts_pair, scal[0])
-
-    # phase 2: cross-row transform Ai @ Z (n^-1 already folded into Ai)
-    d2 = _digit_planes_from_pair(z[0], z[1])
-    out = _matmul_recombine(ai_ref[0], d2, scal, left=True)
-    olo_ref[0] = out[0]
-    ohi_ref[0] = out[1]
+_KERNELS = {mode: _phase_kernel_factory(mode)
+            for mode in ("none", "pre", "post")}
 
 
 # ----------------------------------------------------------------------
@@ -256,8 +238,10 @@ def _pair_split(arr64: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 class PallasNtt:
     """Fused-kernel NTT/iNTT for a stack of moduli; (..., L, n) uint64 API.
 
-    Bit-exact with ops.ntt; batch must be a multiple of `tb` (the wrapper
-    pads internally).
+    Two Pallas launches per transform (phase A matmul, phase B matmul with
+    the twiddle grid folded in), with a device-side layout transpose between
+    them -- Mosaic cannot re-tile the lane axis inside a kernel.  Bit-exact
+    with ops.ntt.
     """
 
     def __init__(self, moduli: Tuple[int, ...], n: int, C: int = 64,
@@ -269,28 +253,34 @@ class PallasNtt:
         self.L = len(moduli)
         self.tb = tb
         self.interpret = interpret
+        assert mtb.diag_left, "inverse kernels assume diag-left factorization"
 
         L, R, Cc = self.L, self.R, self.C
         self.a_stack = np.ascontiguousarray(
             mtb.A_dig.reshape(L, NDIG * R, R))
-        self.b0t_stack = np.ascontiguousarray(
-            np.asarray(mtb.B0T_dig).transpose(0, 2, 1, 3)
-        ).reshape(L, Cc, NDIG * Cc)
+        # phase B runs on the transposed layout (C, TB*R): left-multiply by
+        # the digit planes of B0 itself (out_cols = B0 @ Y^T)
+        b0 = np.asarray(mtb.B0T_dig).transpose(0, 1, 3, 2)  # B0[i, c]
+        self.b0_stack = np.ascontiguousarray(b0.reshape(L, NDIG * Cc, Cc))
         self.ai_stack = np.ascontiguousarray(
             mtb.Ai_dig.reshape(L, NDIG * R, R))
-        self.b0it_stack = np.ascontiguousarray(
-            np.asarray(mtb.B0iT_dig).transpose(0, 2, 1, 3)
-        ).reshape(L, Cc, NDIG * Cc)
-        assert mtb.diag_left, "inverse kernel assumes diag-left factorization"
+        b0i = np.asarray(mtb.B0iT_dig).transpose(0, 1, 3, 2)
+        self.b0i_stack = np.ascontiguousarray(b0i.reshape(L, NDIG * Cc, Cc))
 
-        def grid_pair(x):  # (L, R, C) u64 -> (L, 2R, C) u32 stacked lo/hi
+        def grid_pair(x):  # (L, X, Y) u64 -> (L, 2X, Y) u32 stacked lo/hi
             lo, hi = _pair_split(x)
-            return np.concatenate([lo, hi], axis=1)
+            return np.ascontiguousarray(np.concatenate([lo, hi], axis=1))
 
-        self.t_pair = grid_pair(mtb.T)
-        self.ts_pair = grid_pair(mtb.T_shoup)
-        self.ti_pair = grid_pair(mtb.Ti)
-        self.tis_pair = grid_pair(mtb.Ti_shoup)
+        # grids in the transposed layout (C, R): G[c, r] = T[r, c]
+        self.tT_pair = grid_pair(np.asarray(mtb.T).transpose(0, 2, 1))
+        self.tsT_pair = grid_pair(np.asarray(mtb.T_shoup).transpose(0, 2, 1))
+        # inverse grid applies post-matmul in transposed layout: Ti[r, i]
+        # -> out layout rows = i: G[i, r] = Ti[r, i]
+        self.tiT_pair = grid_pair(np.asarray(mtb.Ti).transpose(0, 2, 1))
+        self.tisT_pair = grid_pair(
+            np.asarray(mtb.Ti_shoup).transpose(0, 2, 1))
+        self._zero_grid_R = np.zeros((L, 2 * R, Cc), dtype=np.uint32)
+        self._zero_grid_C = np.zeros((L, 2 * Cc, R), dtype=np.uint32)
 
         scal = np.zeros((L, 1, 8), dtype=np.uint32)
         for i, col in enumerate([mtb.p[:, 0], mtb.mu[:, 0],
@@ -299,6 +289,56 @@ class PallasNtt:
             scal[:, 0, 2 * i] = (col & 0xFFFFFFFF).astype(np.uint32)
             scal[:, 0, 2 * i + 1] = (col >> 32).astype(np.uint32)
         self.scal = scal
+
+    def _phase(self, mode: str, weights, grid, grid_s, x_lo, x_hi,
+               K_in: int, K_out: int, J: int, Bp: int):
+        """One pallas launch: (L, K_in, Bp*J) pairs -> (L, K_out, Bp*J)."""
+        L, tb = self.L, self.tb
+        kern = _KERNELS[mode]
+        # note: 0*l keeps index literals in i32 under jax_enable_x64
+        const = lambda shape: pl.BlockSpec(
+            (1,) + shape, lambda l, bt: (l, 0 * l, 0 * l))
+        in_spec = pl.BlockSpec((1, K_in, tb * J),
+                               lambda l, bt: (l, 0 * l, bt))
+        out_spec = pl.BlockSpec((1, K_out, tb * J),
+                                lambda l, bt: (l, 0 * l, bt))
+        out_lo, out_hi = pl.pallas_call(
+            kern,
+            grid=(L, Bp // tb),
+            in_specs=[
+                const((1, 8)),
+                const((NDIG * K_out, K_in)),
+                const(grid.shape[1:]),
+                const(grid_s.shape[1:]),
+                in_spec, in_spec,
+            ],
+            out_specs=[out_spec, out_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((L, K_out, Bp * J), jnp.uint32),
+                jax.ShapeDtypeStruct((L, K_out, Bp * J), jnp.uint32),
+            ],
+            interpret=self.interpret,
+        )(self.scal, weights, grid, grid_s, x_lo, x_hi)
+        return out_lo, out_hi
+
+    @staticmethod
+    def _to_pairs(m):
+        return ((m & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                (m >> jnp.uint64(32)).astype(jnp.uint32))
+
+    @staticmethod
+    def _from_pairs(lo, hi):
+        return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64)
+                                        << jnp.uint64(32))
+
+    def _transpose_RC(self, lo, hi, Bp, K_from, K_to):
+        """(L, K_from, Bp*K_to) -> (L, K_to, Bp*K_from) per-matrix transpose."""
+        L = self.L
+
+        def t(x):
+            v = x.reshape(L, K_from, Bp, K_to)
+            return v.transpose(0, 3, 2, 1).reshape(L, K_to, Bp * K_from)
+        return t(lo), t(hi)
 
     def _call(self, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
         lead = x.shape[:-2]
@@ -310,44 +350,35 @@ class PallasNtt:
             xb = jnp.concatenate(
                 [xb, jnp.zeros((pad, L, n), dtype=xb.dtype)], axis=0)
         Bp = B + pad
-        # (Bp, L, n) -> (L, R, Bp*C)
-        m = xb.reshape(Bp, L, R, C).transpose(1, 2, 0, 3).reshape(L, R, Bp * C)
-        x_lo = (m & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-        x_hi = (m >> jnp.uint64(32)).astype(jnp.uint32)
 
-        kern = _intt_kernel if inverse else _ntt_kernel
-        wa = self.ai_stack if inverse else self.a_stack
-        wb = self.b0it_stack if inverse else self.b0t_stack
-        tp = self.ti_pair if inverse else self.t_pair
-        tsp = self.tis_pair if inverse else self.ts_pair
-
-        grid = (L, Bp // tb)
-        const = lambda shape: pl.BlockSpec(
-            (1,) + shape, lambda l, bt: (l, 0, 0))
-        data_spec = pl.BlockSpec((1, R, tb * C), lambda l, bt: (l, 0, bt))
-        out_lo, out_hi = pl.pallas_call(
-            kern,
-            grid=grid,
-            in_specs=[
-                const((1, 8)),                      # scal
-                const((NDIG * R, R)),               # left matrix digits
-                const((C, NDIG * C)),               # right matrix digits
-                const((2 * R, C)),                  # twiddle grid pairs
-                const((2 * R, C)),                  # twiddle shoup pairs
-                data_spec, data_spec,
-            ],
-            out_specs=[data_spec, data_spec],
-            out_shape=[
-                jax.ShapeDtypeStruct((L, R, Bp * C), jnp.uint32),
-                jax.ShapeDtypeStruct((L, R, Bp * C), jnp.uint32),
-            ],
-            interpret=self.interpret,
-        )(self.scal, wa, wb, tp, tsp, x_lo, x_hi)
-
-        out = out_lo.astype(jnp.uint64) | (out_hi.astype(jnp.uint64)
-                                           << jnp.uint64(32))
-        out = out.reshape(L, R, Bp, C).transpose(2, 0, 1, 3).reshape(
-            Bp, L, n)[:B]
+        if not inverse:
+            # layout (L, R, Bp*C)
+            m = xb.reshape(Bp, L, R, C).transpose(1, 2, 0, 3).reshape(
+                L, R, Bp * C)
+            lo, hi = self._to_pairs(m)
+            lo, hi = self._phase("none", self.a_stack, self._zero_grid_R,
+                                 self._zero_grid_R, lo, hi, R, R, C, Bp)
+            # transpose to (L, C, Bp*R) for the row phase
+            lo, hi = self._transpose_RC(lo, hi, Bp, R, C)
+            lo, hi = self._phase("pre", self.b0_stack, self.tT_pair,
+                                 self.tsT_pair, lo, hi, C, C, R, Bp)
+            out = self._from_pairs(lo, hi)
+            # back to natural layout: (L, C, Bp, R) -> (Bp, L, R, C)
+            out = out.reshape(L, C, Bp, R).transpose(2, 0, 3, 1).reshape(
+                Bp, L, n)[:B]
+        else:
+            # inverse: start in transposed layout (L, C, Bp*R)
+            m = xb.reshape(Bp, L, R, C).transpose(1, 3, 0, 2).reshape(
+                L, C, Bp * R)
+            lo, hi = self._to_pairs(m)
+            lo, hi = self._phase("post", self.b0i_stack, self.tiT_pair,
+                                 self.tisT_pair, lo, hi, C, C, R, Bp)
+            lo, hi = self._transpose_RC(lo, hi, Bp, C, R)
+            lo, hi = self._phase("none", self.ai_stack, self._zero_grid_R,
+                                 self._zero_grid_R, lo, hi, R, R, C, Bp)
+            out = self._from_pairs(lo, hi)
+            out = out.reshape(L, R, Bp, C).transpose(2, 0, 1, 3).reshape(
+                Bp, L, n)[:B]
         return out.reshape(lead + (L, n))
 
     def ntt(self, x: jnp.ndarray) -> jnp.ndarray:
