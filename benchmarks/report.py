@@ -28,15 +28,29 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timeit(fn, iters, *args):
+def chain_time(step, x0, k_lo=4, k_hi=24):
+    """Per-step seconds via single-dispatch scan-chain slope (see bench.py:
+    dispatch/transfer latency cancels; robust on remote-attached chips)."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+    import jax.numpy as jnp
+
+    def make(K):
+        @jax.jit
+        def f(x):
+            def body(c, _):
+                return step(c), None
+            y, _ = jax.lax.scan(body, x, None, length=K)
+            return jnp.sum(jax.tree_util.tree_leaves(y)[0])
+        return f
+
+    times = {}
+    for K in (k_lo, k_hi):
+        f = make(K)
+        np.asarray(f(x0))          # compile + sync
+        t0 = time.time()
+        np.asarray(f(x0))
+        times[K] = time.time() - t0
+    return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
 
 
 def rand_ct_batch(ctx, B, rng):
@@ -79,7 +93,7 @@ def main():
     eng1 = JaxEngine(BENCH_N1024, golden=ctx1)
     B = 256 if quick else 1024
     a1 = jnp.asarray(rand_ct_batch(ctx1, B, rng))
-    dt = timeit(eng1._add, 20, a1, a1)
+    dt = chain_time(lambda c: eng1._add.__wrapped__(c, c), a1, 8, 88)
     emit("bfv_add_n1024_ops_per_sec", B / dt, "ops/s/chip")
 
     # ---- config 2 + 4: mul + relin, n=4096 testnet -------------------
@@ -89,21 +103,29 @@ def main():
     rk = jnp.asarray(pk.relin.data)
     B = 32 if quick else 128
     a = jnp.asarray(rand_ct_batch(ctx, B, rng))
-    dt = timeit(eng._mul_relin, 10, a, a, rk)
+    dt = chain_time(lambda c: eng._mul_relin.__wrapped__(c, c, rk)[:, :2], a)
     emit("bfv_mul_relin_n4096_ops_per_sec", B / dt, "ops/s/chip", 1000.0)
 
     ct3 = eng._multiply(a, a)
     jax.block_until_ready(ct3)
-    dt = timeit(eng._relinearize, 10, ct3, rk)
+
+    def ks_step(c):
+        out = eng._relinearize.__wrapped__(c, rk)        # (B, 2, k, n)
+        return jnp.concatenate([out, out[:, :1]], axis=1)
+    dt = chain_time(ks_step, ct3)
     emit("bfv_keyswitch_n4096_ops_per_sec", B / dt, "ops/s/chip")
 
     # ---- NTT throughput, n=4096 --------------------------------------
     tbq = build_tables(ctx.q_mods, ctx.n)
     x = jnp.asarray(rand_ct_batch(ctx, B, rng))
-    f = jax.jit(lambda v: sntt(v, tbq))
-    dt = timeit(f, 20, x)
+    dt = chain_time(lambda v: sntt(v, tbq), x, 8, 48)
     emit("ntt_n4096_transforms_per_sec", B * 2 * len(ctx.q_mods) / dt,
          "transforms/s/chip")
+    from fhe_precompiles_tpu.ops.pallas_ntt import PallasNtt
+    pn = PallasNtt(tuple(ctx.q_mods), ctx.n, C=64, tb=8)
+    dt = chain_time(pn.ntt, x, 8, 48)
+    emit("pallas_ntt_n4096_transforms_per_sec",
+         B * 2 * len(ctx.q_mods) / dt, "transforms/s/chip")
 
     # ---- config 3: packed slot arithmetic, n=8192 --------------------
     ctx8 = BfvContext(BENCH_N8192)
@@ -118,11 +140,12 @@ def main():
     B8 = 8 if quick else 32
     a8 = jnp.asarray(np.tile(cta.data[None], (B8, 1, 1, 1)))
     b8 = jnp.asarray(np.tile(ctb.data[None], (B8, 1, 1, 1)))
-    dt = timeit(eng8._add, 20, a8, b8)
+    dt = chain_time(lambda c: eng8._add.__wrapped__(c, c), a8, 8, 48)
     emit("packed_add_n8192_slotops_per_sec",
          B8 * enc8.slot_count / dt, "slot-ops/s/chip")
     rk8 = jnp.asarray(pk8.relin.data)
-    dt = timeit(eng8._mul_relin, 5, a8, b8, rk8)
+    dt = chain_time(
+        lambda c: eng8._mul_relin.__wrapped__(c, c, rk8)[:, :2], a8)
     emit("packed_mul_relin_n8192_slotops_per_sec",
          B8 * enc8.slot_count / dt, "slot-ops/s/chip")
     # correctness of the packed pipeline end-to-end
@@ -143,11 +166,12 @@ def main():
                               p=[0.45, 0.1, 0.45]))
     idx_pairs = mix_rng.integers(0, len(base_cts), size=(NREQ, 2))
     pool = np.stack([c.data for c in base_cts])
-    warm = stream.run_pooled(ops[:256], idx_pairs[:256], pool, pk)
-    np.asarray(warm[0][1])                                  # hard sync
+    # warm with EXACT shapes (compile), then time the steady-state run
+    warm = stream.run_pooled_fused(ops, idx_pairs, pool, pk)
+    np.asarray(warm["mul"][1][:1])                           # hard sync
     t0 = time.time()
-    batches = stream.run_pooled(ops, idx_pairs, pool, pk)
-    np.asarray(batches[-1][1][:1])                          # hard barrier
+    res = stream.run_pooled_fused(ops, idx_pairs, pool, pk)
+    np.asarray(res["mul"][1][:1])                            # hard barrier
     dt = time.time() - t0
     emit("mixed_stream_10k_ops_per_sec", NREQ / dt, "ops/s/chip")
     # host-roundtrip variant (includes host<->device transfer of every
