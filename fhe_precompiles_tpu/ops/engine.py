@@ -52,7 +52,10 @@ def _scalar_shoup(values, mods):
 class JaxEngine:
     """All BFV ops as jitted, batch-stacked XLA programs for one param set."""
 
-    def __init__(self, params: Params, golden: Optional[BfvContext] = None):
+    def __init__(self, params: Params, golden: Optional[BfvContext] = None,
+                 ntt_backend: str = "stage"):
+        """ntt_backend: "stage" (fused XLA butterfly stages, default) or
+        "pallas" (fused MXU four-step kernels; TPU-only, bit-identical)."""
         self.params = params
         g = golden if golden is not None else BfvContext(params)
         self.golden = g
@@ -64,6 +67,24 @@ class JaxEngine:
         self.tb_q = build_tables(g.q_mods, n)
         self.tb_all = build_tables(g.q_mods + g.Bsk, n)
         self.tb_key = build_tables(g.key_mods, n)
+        if ntt_backend == "stage":
+            self._ntt_q = lambda x: ntt(x, self.tb_q)
+            self._intt_q = lambda x: intt(x, self.tb_q)
+            self._ntt_all = lambda x: ntt(x, self.tb_all)
+            self._intt_all = lambda x: intt(x, self.tb_all)
+            self._ntt_key = lambda x: ntt(x, self.tb_key)
+            self._intt_key = lambda x: intt(x, self.tb_key)
+        elif ntt_backend == "pallas":
+            from .pallas_ntt import PallasNtt
+            pq = PallasNtt(tuple(g.q_mods), n)
+            pa = PallasNtt(tuple(g.q_mods + g.Bsk), n)
+            pkk = PallasNtt(tuple(g.key_mods), n)
+            self._ntt_q, self._intt_q = pq.ntt, pq.intt
+            self._ntt_all, self._intt_all = pa.ntt, pa.intt
+            self._ntt_key, self._intt_key = pkk.ntt, pkk.intt
+        else:
+            raise ValueError(f"unknown ntt_backend {ntt_backend!r}")
+        self.ntt_backend = ntt_backend
 
         self.q_mods = _const(np.array(g.q_mods).reshape(k, 1))
         self.mu_q = _const(barrett_mu(np.array(g.q_mods).reshape(k, 1)))
@@ -219,10 +240,10 @@ class JaxEngine:
         def f(ct, m):
             # lift plain poly mod each q_j, NTT once, multiply every component
             m_rns = barrett_reduce(m[..., None, :], self.q_mods, self.mu_q)
-            m_ntt = ntt(m_rns, self.tb_q)
-            c_ntt = ntt(ct, self.tb_q)
+            m_ntt = self._ntt_q(m_rns)
+            c_ntt = self._ntt_q(ct)
             out = mulmod(c_ntt, m_ntt[..., None, :, :], self.q_mods, self.mu_q)
-            return intt(out, self.tb_q)
+            return self._intt_q(out)
         return jax.jit(f)
 
     # ==================================================================
@@ -299,14 +320,14 @@ class JaxEngine:
             k = self.k
             ea = jnp.concatenate([a, self._to_bsk(a)], axis=-2)  # (B,2,nb,n)
             eb = jnp.concatenate([b, self._to_bsk(b)], axis=-2)
-            fa = ntt(ea, self.tb_all)
-            fb = ntt(eb, self.tb_all)
+            fa = self._ntt_all(ea)
+            fb = self._ntt_all(eb)
             p_all, mu_all = self.tb_all.p, self.tb_all.mu
             t0 = mulmod(fa[:, 0], fb[:, 0], p_all, mu_all)
             t1 = addmod(mulmod(fa[:, 0], fb[:, 1], p_all, mu_all),
                         mulmod(fa[:, 1], fb[:, 0], p_all, mu_all), p_all)
             t2 = mulmod(fa[:, 1], fb[:, 1], p_all, mu_all)
-            prod = intt(jnp.stack([t0, t1, t2], axis=1), self.tb_all)
+            prod = self._intt_all(jnp.stack([t0, t1, t2], axis=1))
             # FastFloor per component: floor(t * prod / q) exact-ish in Bsk
             tq = mulmod(prod, jnp.uint64(self.params.t), p_all, mu_all)
             conv = self._fastbconv_q_to(tq[..., :k, :], *self.q_hat_mod_x,
@@ -326,14 +347,14 @@ class JaxEngine:
             c2 = ct3[:, 2]                                       # (B, k, n)
             # lift every decomp digit mod every key prime: (B, k, k_key, n)
             d = barrett_reduce(c2[:, :, None, :], self.key_mods, self.mu_key)
-            d_ntt = ntt(d, self.tb_key)
+            d_ntt = self._ntt_key(d)
             pk_, mu_ = self.key_mods, self.mu_key
             acc0 = mulmod(d_ntt[:, 0], rk[0, 0], pk_, mu_)
             acc1 = mulmod(d_ntt[:, 0], rk[0, 1], pk_, mu_)
             for j in range(1, self.k):
                 acc0 = addmod(acc0, mulmod(d_ntt[:, j], rk[j, 0], pk_, mu_), pk_)
                 acc1 = addmod(acc1, mulmod(d_ntt[:, j], rk[j, 1], pk_, mu_), pk_)
-            acc = intt(jnp.stack([acc0, acc1], axis=1), self.tb_key)
+            acc = self._intt_key(jnp.stack([acc0, acc1], axis=1))
             # divide by the special prime with rounding
             P, half = jnp.uint64(self.P), jnp.uint64(self.P >> 1)
             xP = acc[..., self.k_key - 1, :]
@@ -364,8 +385,8 @@ class JaxEngine:
             dot = c0 + c1*s per limb, then m = round(t*dot/q) mod t via the
             gamma-correction technique -- all in RNS, no CRT bigints.
             """
-            c1s = intt(mulmod(ntt(ct[:, 1], self.tb_q), s_ntt,
-                              self.q_mods, self.mu_q), self.tb_q)
+            c1s = self._intt_q(mulmod(self._ntt_q(ct[:, 1]), s_ntt,
+                                      self.q_mods, self.mu_q))
             dot = addmod(ct[:, 0], c1s, self.q_mods)       # (B, k, n)
             # y_i = |dot_i * (gamma*t) * q_hat_inv_i|_{q_i}
             y = mulmod_shoup(dot, *self.dec_gt_qhinv, self.q_mods)
@@ -406,11 +427,9 @@ class JaxEngine:
         def f(u_rns, e0_rns, e1_rns, m, pk_ct):
             """u/e*: (B, k, n) lifted signed samples; m: (B, n) mod t;
             pk_ct: (2, k, n) = first k limbs of the public key (NTT form)."""
-            u_ntt = ntt(u_rns, self.tb_q)
-            c0 = intt(mulmod(u_ntt, pk_ct[0], self.q_mods, self.mu_q),
-                      self.tb_q)
-            c1 = intt(mulmod(u_ntt, pk_ct[1], self.q_mods, self.mu_q),
-                      self.tb_q)
+            u_ntt = self._ntt_q(u_rns)
+            c0 = self._intt_q(mulmod(u_ntt, pk_ct[0], self.q_mods, self.mu_q))
+            c1 = self._intt_q(mulmod(u_ntt, pk_ct[1], self.q_mods, self.mu_q))
             dm = self._scaled_plain(m)
             c0 = addmod(addmod(c0, e0_rns, self.q_mods), dm, self.q_mods)
             c1 = addmod(c1, e1_rns, self.q_mods)
