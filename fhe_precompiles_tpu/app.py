@@ -205,6 +205,18 @@ class FheApp:
         return self._public_key_bytes
 
     # ------------------------------------------------------------------
+    # observability (no reference analog; SURVEY.md section 5 requirement)
+    # ------------------------------------------------------------------
+    def noise_budget(self, ciphertext_bytes: bytes) -> float:
+        """Remaining noise budget (bits) of a network-key ciphertext.
+
+        Diagnostic API: log2(q / (2*|noise|)); 0 means decryption is about
+        to fail.  Requires the network private key (server-side only).
+        """
+        ct = Ciphertext.from_bytes(ciphertext_bytes)
+        return self.ctx.noise_budget_bits(ct, self.private_key)
+
+    # ------------------------------------------------------------------
     # C-ABI style entry: name + bytes -> (code, payload)
     # ------------------------------------------------------------------
     def call(self, name: str, input_bytes: bytes):

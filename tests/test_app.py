@@ -183,3 +183,35 @@ def test_all_49_precompiles_exist():
     assert len(PRECOMPILE_NAMES) == 49
     for name in PRECOMPILE_NAMES:
         assert callable(getattr(FHE, name)), name
+
+
+def test_noise_budget_observability():
+    data = pack.pack_two_arguments(12, pack.U256, b"\x01\x02\x03", pack.BYTES)
+    ct_bytes = FHE.encrypt_u256(data)
+    fresh = FHE.noise_budget(ct_bytes)
+    assert fresh > 50
+    # after a multiply the budget must drop but stay positive
+    ct = Ciphertext.from_bytes(ct_bytes)
+    sub_in = pack.pack_binary_operation(FHE.public_key, ct, _CT_CODEC,
+                                        ct, _CT_CODEC)
+    out = FHE.mul_cipheru256_cipheru256(sub_in)
+    after = FHE.noise_budget(out)
+    assert 5 < after < fresh
+
+
+def test_metrics_registry_counts():
+    from fhe_precompiles_tpu import metrics
+    metrics.GLOBAL.reset()
+    metrics.enable()
+    try:
+        FHE.call("public_key_bytes", b"")
+        FHE.call("public_key_bytes", b"")
+        FHE.call("decrypt_u256", b"bad")
+        snap = metrics.GLOBAL.snapshot()
+        assert snap["public_key_bytes"].count == 2
+        assert snap["public_key_bytes"].bytes_out > 0
+        import json
+        json.loads(metrics.GLOBAL.report_json())
+    finally:
+        metrics.disable()
+        metrics.GLOBAL.reset()

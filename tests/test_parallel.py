@@ -11,7 +11,8 @@ import jax.numpy as jnp
 
 from fhe_precompiles_tpu.bfv import BfvContext
 from fhe_precompiles_tpu.bfv.golden import Ciphertext
-from fhe_precompiles_tpu.encoding import decode_unsigned, encode_unsigned
+from fhe_precompiles_tpu.encoding import (decode_signed, decode_unsigned,
+                                          encode_unsigned)
 from fhe_precompiles_tpu.ops.engine import JaxEngine
 from fhe_precompiles_tpu.parallel import RequestStream, make_mesh
 from fhe_precompiles_tpu.parallel.stream import Request
@@ -98,3 +99,42 @@ def test_mixed_request_synthesis(eng, sample_cts):
     ops = {r.op for r in reqs}
     assert ops <= {"add", "sub", "mul"}
     assert len(reqs) == 100
+
+
+def test_run_pooled_batches_match_plain(ctx, eng, keys, sample_cts):
+    pk, sk = keys
+    pool = np.stack([c.data for c in sample_cts])
+    rng = np.random.default_rng(5)
+    NREQ = 20
+    ops = list(rng.choice(["add", "sub", "mul"], size=NREQ))
+    idx = rng.integers(0, len(sample_cts), size=(NREQ, 2))
+    batches = RequestStream(eng, max_batch=8).run_pooled(ops, idx, pool, pk)
+    vals = [2, 3, 4, 5]
+    for chunk, arr in batches:
+        arr = np.asarray(arr)
+        for slot, i in enumerate(chunk):
+            va, vb = vals[idx[i][0]], vals[idx[i][1]]
+            want = {"add": va + vb, "sub": va - vb, "mul": va * vb}[ops[i]]
+            got = decode_signed(ctx.decrypt(
+                Ciphertext(SMALL, arr[slot]), sk), SMALL)
+            assert got == want, (ops[i], va, vb, got)
+
+
+def test_run_pooled_fused_matches_plain(ctx, eng, keys, sample_cts):
+    pk, sk = keys
+    pool = np.stack([c.data for c in sample_cts])
+    rng = np.random.default_rng(6)
+    NREQ = 20
+    ops = list(rng.choice(["add", "mul"], size=NREQ))
+    idx = rng.integers(0, len(sample_cts), size=(NREQ, 2))
+    res = RequestStream(eng, max_batch=8).run_pooled_fused(ops, idx, pool, pk)
+    vals = [2, 3, 4, 5]
+    for op, (idxs, arr) in res.items():
+        arr = np.asarray(arr)
+        assert arr.shape[0] == len(idxs)
+        for slot, i in enumerate(idxs):
+            va, vb = vals[idx[i][0]], vals[idx[i][1]]
+            want = {"add": va + vb, "sub": va - vb, "mul": va * vb}[op]
+            got = decode_signed(ctx.decrypt(
+                Ciphertext(SMALL, arr[slot]), sk), SMALL)
+            assert got == want
