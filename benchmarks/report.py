@@ -93,7 +93,7 @@ def main():
     eng1 = JaxEngine(BENCH_N1024, golden=ctx1)
     B = 256 if quick else 1024
     a1 = jnp.asarray(rand_ct_batch(ctx1, B, rng))
-    dt = chain_time(lambda c: eng1._add.__wrapped__(c, c), a1, 8, 88)
+    dt = chain_time(lambda c: eng1._add.__wrapped__(c, c), a1, 16, 2016)
     emit("bfv_add_n1024_ops_per_sec", B / dt, "ops/s/chip")
 
     # ---- config 2 + 4: mul + relin, n=4096 testnet -------------------
@@ -140,7 +140,7 @@ def main():
     B8 = 8 if quick else 32
     a8 = jnp.asarray(np.tile(cta.data[None], (B8, 1, 1, 1)))
     b8 = jnp.asarray(np.tile(ctb.data[None], (B8, 1, 1, 1)))
-    dt = chain_time(lambda c: eng8._add.__wrapped__(c, c), a8, 8, 48)
+    dt = chain_time(lambda c: eng8._add.__wrapped__(c, c), a8, 16, 2016)
     emit("packed_add_n8192_slotops_per_sec",
          B8 * enc8.slot_count / dt, "slot-ops/s/chip")
     rk8 = jnp.asarray(pk8.relin.data)
