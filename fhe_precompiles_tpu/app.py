@@ -19,9 +19,9 @@ import importlib.resources
 from typing import Callable, Optional
 
 from . import pack
-from .bfv.golden import BfvContext, Ciphertext, PublicKey, SecretKey
-from .encoding import (FRAC64_TYPE, I64_TYPE, PLAIN_TYPES, U64_TYPE,
-                       U256_TYPE, PlainType)
+from .bfv.golden import BfvContext, Ciphertext, PublicKey
+from .encoding import (FRAC64_TYPE, I64_TYPE, U64_TYPE, U256_TYPE,
+                       PlainType)
 from .errors import (FheError, FheErrorCode, failed_decryption,
                      failed_encryption)
 from .params import Params

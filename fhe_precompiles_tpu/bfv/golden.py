@@ -20,15 +20,14 @@ from __future__ import annotations
 import dataclasses
 import math
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..errors import failed_decryption
 from ..params import Params
 from ..sampling import (Blake2Xof, DOMAIN_ERROR, DOMAIN_KEYGEN,
                         DOMAIN_TERNARY, DOMAIN_UNIFORM, sample_cbd,
-                        sample_ternary, sample_uniform_mod, seed_from_u64s)
+                        sample_ternary, sample_uniform_mod)
 from .modmath import addmod, get_ntt_tables, invmod, mulmod, negmod, submod
 from .ntt import intt, ntt
 

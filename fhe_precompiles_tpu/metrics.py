@@ -12,7 +12,7 @@ import json
 import threading
 import time
 from collections import defaultdict
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 
 @dataclasses.dataclass

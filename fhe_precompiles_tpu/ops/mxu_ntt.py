@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

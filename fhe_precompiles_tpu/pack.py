@@ -19,7 +19,7 @@ from __future__ import annotations
 import struct
 from typing import Any, Protocol, Tuple
 
-from .errors import FheError, FheErrorCode, invalid_encoding, unexpected_eof
+from .errors import FheError, invalid_encoding, unexpected_eof
 
 _INDEX_SIZE = 4  # u32 offsets (pack.rs:11)
 
