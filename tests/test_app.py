@@ -215,3 +215,17 @@ def test_metrics_registry_counts():
     finally:
         metrics.disable()
         metrics.GLOBAL.reset()
+
+
+def test_jax_engine_app_bitexact_with_golden_app():
+    """FheApp(engine='jax') must emit byte-identical op outputs (consensus
+    across accelerator and CPU validators)."""
+    jax_app = FheApp(FHE.params, engine="jax")
+    pk, sk = FHE.generate_keys()
+    a = _enc(16, "u64", pk, b"\x71" * 64)
+    b = _enc(4, "u64", pk, b"\x72" * 64)
+    data = pack.pack_binary_operation(pk, a, _CT_CODEC, b, _CT_CODEC)
+    for op in ("add_cipheru64_cipheru64", "mul_cipheru64_cipheru64"):
+        out_g = getattr(FHE, op)(data)
+        out_j = getattr(jax_app, op)(data)
+        assert out_g == out_j, op
