@@ -225,6 +225,77 @@ _KERNELS = {mode: _phase_kernel_factory(mode)
             for mode in ("none", "pre", "post")}
 
 
+def _block_transpose(v, J_in: int):
+    """(K, TB*J_in) -> (J_in, TB*K): transpose each (K, J_in) block in place.
+
+    Uses Mosaic's native 2D transpose per block; TB is static.
+    """
+    K, TBJ = v.shape
+    TB = TBJ // J_in
+    parts = [v[:, i * J_in:(i + 1) * J_in].T for i in range(TB)]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _fused_kernel_factory(inverse: bool):
+    """Single-kernel four-step NTT: both matmul phases + the in-between
+    layout transpose fused in VMEM (no HBM roundtrip between phases).
+
+    Forward: A-phase on (R, TB*C) -> transpose -> grid -> B-phase on
+    (C, TB*R) -> transpose back.  Inverse mirrors it (diag-left grid).
+    """
+
+    def kernel(scal_ref, wa_ref, wb_ref, g_ref, gs_ref, xlo_ref, xhi_ref,
+               olo_ref, ohi_ref):
+        def sc(i):
+            return (jnp.full((1, 1), scal_ref[0, 0, 2 * i], jnp.uint32),
+                    jnp.full((1, 1), scal_ref[0, 0, 2 * i + 1], jnp.uint32))
+        scal = tuple(sc(i) for i in range(4))
+        g = g_ref[0]
+        gs = gs_ref[0]
+        J = g.shape[1]          # grid second dim (R for fwd, R for inv)
+
+        def apply_grid(v):
+            K = v[0].shape[0]
+            TB = v[0].shape[1] // J
+            g_pair = (jnp.tile(g[:K, :], (1, TB)),
+                      jnp.tile(g[K:, :], (1, TB)))
+            gs_pair = (jnp.tile(gs[:K, :], (1, TB)),
+                       jnp.tile(gs[K:, :], (1, TB)))
+            return _shoup_mulmod(v, g_pair, gs_pair, scal[0])
+
+        x = (xlo_ref[0], xhi_ref[0])
+        R_in = x[0].shape[0]
+
+        if not inverse:
+            # phase A in (R, TB*C)
+            d = _digit_planes_from_pair(x[0], x[1])
+            y = _matmul_recombine(wa_ref[0], d, scal, left=True)
+            C = wb_ref[0].shape[0] // NDIG
+            y = (_block_transpose(y[0], C), _block_transpose(y[1], C))
+            y = apply_grid(y)
+            d2 = _digit_planes_from_pair(y[0], y[1])
+            z = _matmul_recombine(wb_ref[0], d2, scal, left=True)
+            z = (_block_transpose(z[0], R_in), _block_transpose(z[1], R_in))
+        else:
+            # inverse: B'-phase first in transposed layout, grid after
+            C = wb_ref[0].shape[0] // NDIG
+            xT = (_block_transpose(x[0], C), _block_transpose(x[1], C))
+            d = _digit_planes_from_pair(xT[0], xT[1])
+            z1 = _matmul_recombine(wb_ref[0], d, scal, left=True)
+            z1 = apply_grid(z1)
+            z1 = (_block_transpose(z1[0], R_in), _block_transpose(z1[1], R_in))
+            d2 = _digit_planes_from_pair(z1[0], z1[1])
+            z = _matmul_recombine(wa_ref[0], d2, scal, left=True)
+        olo_ref[0] = z[0]
+        ohi_ref[0] = z[1]
+
+    return kernel
+
+
+_FUSED_KERNELS = {False: _fused_kernel_factory(False),
+                  True: _fused_kernel_factory(True)}
+
+
 # ----------------------------------------------------------------------
 # host-side wrapper
 # ----------------------------------------------------------------------
@@ -245,7 +316,7 @@ class PallasNtt:
     """
 
     def __init__(self, moduli: Tuple[int, ...], n: int, C: int = 64,
-                 tb: int = 16, interpret: bool = False):
+                 tb: int = 16, interpret: bool = False, fused: bool = True):
         mtb: MxuNttTables = build_mxu_tables(tuple(int(m) for m in moduli), n,
                                              C)
         self.mtb = mtb
@@ -253,6 +324,7 @@ class PallasNtt:
         self.L = len(moduli)
         self.tb = tb
         self.interpret = interpret
+        self.fused = fused
         assert mtb.diag_left, "inverse kernels assume diag-left factorization"
 
         L, R, Cc = self.L, self.R, self.C
@@ -340,7 +412,55 @@ class PallasNtt:
             return v.transpose(0, 3, 2, 1).reshape(L, K_to, Bp * K_from)
         return t(lo), t(hi)
 
+    def _fused_call(self, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+        """Single-kernel path: both phases + transposes fused in VMEM."""
+        lead = x.shape[:-2]
+        L, n, R, C, tb = self.L, self.n, self.R, self.C, self.tb
+        B = int(np.prod(lead)) if lead else 1
+        xb = x.reshape(B, L, n)
+        pad = (-B) % tb
+        if pad:
+            xb = jnp.concatenate(
+                [xb, jnp.zeros((pad, L, n), dtype=xb.dtype)], axis=0)
+        Bp = B + pad
+        m = xb.reshape(Bp, L, R, C).transpose(1, 2, 0, 3).reshape(L, R, Bp * C)
+        lo, hi = self._to_pairs(m)
+
+        wa = self.ai_stack if inverse else self.a_stack
+        wb = self.b0i_stack if inverse else self.b0_stack
+        grid_c = self.tiT_pair if inverse else self.tT_pair
+        grid_s = self.tisT_pair if inverse else self.tsT_pair
+
+        kern = _FUSED_KERNELS[inverse]
+        const = lambda shape: pl.BlockSpec(
+            (1,) + shape, lambda l, bt: (l, 0 * l, 0 * l))
+        dspec = pl.BlockSpec((1, R, tb * C), lambda l, bt: (l, 0 * l, bt))
+        out_lo, out_hi = pl.pallas_call(
+            kern,
+            grid=(L, Bp // tb),
+            in_specs=[
+                const((1, 8)),
+                const((NDIG * R, R)),
+                const((NDIG * C, C)),
+                const(grid_c.shape[1:]),
+                const(grid_s.shape[1:]),
+                dspec, dspec,
+            ],
+            out_specs=[dspec, dspec],
+            out_shape=[
+                jax.ShapeDtypeStruct((L, R, Bp * C), jnp.uint32),
+                jax.ShapeDtypeStruct((L, R, Bp * C), jnp.uint32),
+            ],
+            interpret=self.interpret,
+        )(self.scal, wa, wb, grid_c, grid_s, lo, hi)
+        out = self._from_pairs(out_lo, out_hi)
+        out = out.reshape(L, R, Bp, C).transpose(2, 0, 1, 3).reshape(
+            Bp, L, n)[:B]
+        return out.reshape(lead + (L, n))
+
     def _call(self, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+        if self.fused:
+            return self._fused_call(x, inverse)
         lead = x.shape[:-2]
         L, n, R, C, tb = self.L, self.n, self.R, self.C, self.tb
         B = int(np.prod(lead)) if lead else 1
