@@ -127,6 +127,20 @@ def main():
     emit("pallas_ntt_n4096_transforms_per_sec",
          B * 2 * len(ctx.q_mods) / dt, "transforms/s/chip")
 
+    # ---- batched device decryption (t-gamma RNS path) -----------------
+    from fhe_precompiles_tpu.ops.modmath import addmod as _addmod
+    s_ntt = jnp.asarray(sk.s_ntt[:ctx.k])
+    q_col = np.array(ctx.q_mods, dtype=np.uint64).reshape(-1, 1)
+
+    def dec_chain(c):
+        # decrypt is not self-composable; mix one bit of the plaintext back
+        # into the ciphertext so the chain stays data-dependent
+        m = eng._decrypt_core.__wrapped__(c, s_ntt)      # (B, n) mod t
+        bump = m[:, None, None, :] & jnp.uint64(1)
+        return _addmod(c, bump, q_col)
+    dt = chain_time(dec_chain, a, 4, 24)
+    emit("bfv_decrypt_n4096_ops_per_sec", B / dt, "ops/s/chip")
+
     # ---- config 3: packed slot arithmetic, n=8192 --------------------
     ctx8 = BfvContext(BENCH_N8192)
     eng8 = JaxEngine(BENCH_N8192, golden=ctx8)
