@@ -129,3 +129,18 @@ def test_fresh_keys_isolated(ctx, keys):
     got = ctx.decrypt(ct, sk_b)
     # decrypting with the wrong key yields garbage coefficients
     assert not np.array_equal(got, encode_unsigned(16, ctx.params, 256))
+
+
+def test_n8192_four_limb_end_to_end():
+    """BASELINE config 3 ring: n=8192, 4 key limbs (3 ct limbs) -- full
+    golden pipeline including BEHZ multiply at the larger parameters."""
+    from fhe_precompiles_tpu.params import BENCH_N8192
+    ctx = BfvContext(BENCH_N8192)
+    pk, sk = ctx.generate_keys(seed=b"\x81" * 64)
+    a = ctx.encrypt(encode_unsigned(123456, BENCH_N8192, 64), pk, b"\x82" * 64)
+    b = ctx.encrypt(encode_unsigned(789, BENCH_N8192, 64), pk, b"\x83" * 64)
+    assert decode_unsigned(ctx.decrypt(ctx.add(a, b), sk),
+                           BENCH_N8192, 64) == 124245
+    got = decode_unsigned(ctx.decrypt(ctx.mul_relin(a, b, pk.relin), sk),
+                          BENCH_N8192, 64)
+    assert got == 123456 * 789
