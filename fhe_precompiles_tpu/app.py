@@ -149,9 +149,9 @@ class FheApp:
         try:
             ct = self.ctx.encrypt(ptype.encode(plain, self.params),
                                   self.public_key, seed)
-        except FheError:
-            raise
         except Exception as exc:
+            # reference maps every encrypt-side failure (incl. encoding
+            # overflow) to FailedEncryption, fhe.rs:616
             raise failed_encryption(str(exc)) from exc
         return ct.to_bytes()
 
@@ -166,11 +166,9 @@ class FheApp:
         try:
             poly = self.ctx.decrypt(ciphertext, self.private_key)
             value = ptype.decode(poly, self.params)
-        except FheError as e:
-            if e.code == FheErrorCode.OVERFLOW:
-                raise
-            raise failed_decryption(str(e)) from e
         except Exception as exc:
+            # reference maps every decrypt-side failure (incl. decode
+            # overflow) to FailedDecryption, fhe.rs:644
             raise failed_decryption(str(exc)) from exc
         h = hashlib.sha512()
         h.update(public_data)
@@ -192,11 +190,8 @@ class FheApp:
         try:
             poly = self.ctx.decrypt(ciphertext, self.private_key)
             value = ptype.decode(poly, self.params)
-        except FheError as e:
-            if e.code == FheErrorCode.OVERFLOW:
-                raise
-            raise failed_decryption(str(e)) from e
         except Exception as exc:
+            # reference: all decrypt failures -> FailedDecryption (fhe.rs:696)
             raise failed_decryption(str(exc)) from exc
         return scalar.serialize(value)
 
@@ -226,9 +221,9 @@ class FheApp:
         recorded when metrics.enable() has been called.
         """
         from . import metrics
-        fn = getattr(self, name, None)
-        if fn is None or name.startswith("_"):
+        if name not in PRECOMPILE_NAMES:
             return int(FheErrorCode.INVALID_ENCODING), b""
+        fn = getattr(self, name)
         try:
             with metrics.GLOBAL.measure(name, len(input_bytes)):
                 out = fn(input_bytes)

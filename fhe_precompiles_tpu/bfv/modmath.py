@@ -123,7 +123,6 @@ class NttTables:
 
         idx = np.arange(n)
         brv = np.array([bit_reverse(int(i), self.log_n) for i in idx])
-        psi_pows = np.empty(n, dtype=np.uint64)
         acc = 1
         pows = np.empty(n, dtype=object)
         for i in range(n):
@@ -132,7 +131,6 @@ class NttTables:
         self.root_powers = np.array([pows[b] for b in brv], dtype=np.uint64)
         self.inv_root_powers = np.array(
             [invmod(int(x), p) for x in self.root_powers], dtype=np.uint64)
-        del psi_pows
 
 
 @functools.lru_cache(maxsize=None)

@@ -7,6 +7,7 @@
  * Exercises public_key_bytes, encrypt_u256 -> decrypt_u256 round-trip and
  * the error path, all through the C ABI with an embedded interpreter.
  */
+#include <pthread.h>
 #include <stdint.h>
 #include <stdio.h>
 #include <stdlib.h>
@@ -20,6 +21,17 @@ extern int32_t c_fhe_decrypt_u256(const uint8_t *, size_t, uint8_t **,
                                   int64_t *);
 extern void fhe_free(const uint8_t *);
 extern const char *fhe_error(int32_t);
+
+static void *thread_worker(void *arg) {
+  uint8_t *out = NULL;
+  int64_t out_len = 0;
+  int32_t code = c_fhe_public_key_bytes(NULL, 0, &out, &out_len);
+  if (code == 0 && out_len > 0) {
+    fhe_free(out);
+    *(int *)arg = 0;
+  }
+  return NULL;
+}
 
 int main(void) {
   uint8_t *out = NULL;
@@ -65,6 +77,22 @@ int main(void) {
     return 1;
   }
   printf("error path OK: %s\n", fhe_error(code));
+
+  /* threaded calls: the embedded interpreter must release the GIL after
+   * init so other host threads can enter (deadlocks if it does not). */
+  pthread_t threads[4];
+  int results[4] = {1, 1, 1, 1};
+  for (int i = 0; i < 4; ++i) {
+    pthread_create(&threads[i], NULL, thread_worker, &results[i]);
+  }
+  for (int i = 0; i < 4; ++i) {
+    pthread_join(threads[i], NULL);
+    if (results[i] != 0) {
+      fprintf(stderr, "thread %d failed\n", i);
+      return 1;
+    }
+  }
+  printf("threaded calls OK\n");
   printf("HOST TEST PASSED\n");
   return 0;
 }

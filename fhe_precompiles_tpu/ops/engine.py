@@ -495,17 +495,23 @@ class JaxEngine:
                                           jnp.asarray(plain)))
 
     def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        if a.size != 2 or b.size != 2:
+            raise ValueError("multiply expects size-2 ciphertexts")
         out = self._multiply(jnp.asarray(a.data)[None],
                              jnp.asarray(b.data)[None])
         return self._wrap(out[0])
 
     def relinearize(self, ct: Ciphertext, rk: RelinKeys) -> Ciphertext:
+        if ct.size != 3:
+            raise ValueError("relinearize expects a size-3 ciphertext")
         out = self._relinearize(jnp.asarray(ct.data)[None],
                                 jnp.asarray(rk.data))
         return self._wrap(out[0])
 
     def mul_relin(self, a: Ciphertext, b: Ciphertext,
                   rk: RelinKeys) -> Ciphertext:
+        if a.size != 2 or b.size != 2:
+            raise ValueError("multiply expects size-2 ciphertexts")
         out = self._mul_relin(jnp.asarray(a.data)[None],
                               jnp.asarray(b.data)[None],
                               jnp.asarray(rk.data))

@@ -107,6 +107,8 @@ class RequestStream:
         pool = jnp.asarray(ct_pool)                     # (P, 2, k, n)
         rk = None
         if "mul" in ops:
+            if pk.relin is None:
+                raise ValueError("mul requests need relin keys in the pk")
             rk = self._replicate(jnp.asarray(pk.relin.data))
         order: dict[str, list[int]] = {}
         for i, op in enumerate(ops):
@@ -155,6 +157,8 @@ class RequestStream:
         jit).  Requests are padded up to a chunk multiple; returns
         {op: (request_indices, outputs_array)} with padding trimmed."""
         pool = jnp.asarray(ct_pool)
+        if "mul" in ops and pk.relin is None:
+            raise ValueError("mul requests need relin keys in the pk")
         rk = (self._replicate(jnp.asarray(pk.relin.data))
               if "mul" in ops else jnp.zeros((1,), jnp.uint64))
         order: dict[str, list[int]] = {}

@@ -174,8 +174,10 @@ class Params:
         for p in self.coeff_modulus:
             if p % (2 * n) != 1:
                 raise ValueError(f"modulus {p:#x} is not NTT-friendly for n={n}")
-            if p >= 1 << 61:
-                raise ValueError(f"modulus {p:#x} too large (>= 2^61)")
+            if p >= 1 << 37:
+                # every modular-multiply kernel (19-bit-split u64 path and
+                # the u32-pair Pallas path) is exact only below 2**37
+                raise ValueError(f"modulus {p:#x} too large (>= 2^37)")
         if len(set(self.coeff_modulus)) != len(self.coeff_modulus):
             raise ValueError("duplicate coeff moduli")
 

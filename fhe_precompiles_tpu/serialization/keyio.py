@@ -33,6 +33,15 @@ _SCHEME_TAGS = {"bfv": 0}
 _SECURITY_TAGS = {"tc128": 0}
 
 
+def _check_residue_range(data: np.ndarray, moduli, what: str) -> None:
+    """Reject residues >= their modulus: out-of-range words are not valid
+    wire data, and golden vs accelerated arithmetic only agree on canonical
+    inputs (consensus requires rejecting them at the boundary)."""
+    for j, m in enumerate(moduli):
+        if data[..., j, :].max(initial=0) >= m:
+            raise invalid_encoding(f"{what} residue exceeds modulus {m:#x}")
+
+
 def read_params(r: Reader) -> Params:
     n = r.u64()
     count = r.u64()
@@ -70,6 +79,7 @@ def load_public_key(data: bytes) -> PublicKey:
         raise invalid_encoding("public key blob is not a size-2 NTT ciphertext")
     if blob.k != len(params.key_moduli) or blob.n != params.n:
         raise invalid_encoding("public key dimensions disagree with params")
+    _check_residue_range(blob.data, params.key_moduli, "public key")
     pk = PublicKey(params, np.ascontiguousarray(blob.data, dtype=np.uint64))
 
     if r.option():  # galois keys -- reference always strips them
@@ -85,6 +95,7 @@ def load_public_key(data: bytes) -> PublicKey:
         if len(vec) != k_ct:
             raise invalid_encoding("relin decomposition count mismatch")
         arr = np.stack([c.data for c in vec])         # (k_ct, 2, k_key, n)
+        _check_residue_range(arr, rk_params.key_moduli, "relin key")
         rk = RelinKeys(rk_params, np.ascontiguousarray(arr, dtype=np.uint64))
     r.expect_end()
     pk.relin = rk
@@ -104,9 +115,11 @@ def save_public_key(pk: PublicKey) -> bytes:
     w.option(rk is not None)
     if rk is not None:
         write_params(w, rk.params)
-        parms_id = compute_parms_id(params.n, params.key_moduli, params.t)
+        parms_id = compute_parms_id(rk.params.n, rk.params.key_moduli,
+                                    rk.params.t)
         vec = [SealCiphertextBlob(parms_id=parms_id, is_ntt_form=True,
-                                  n=params.n, k=len(params.key_moduli),
+                                  n=rk.params.n,
+                                  k=len(rk.params.key_moduli),
                                   data=rk.data[j])
                for j in range(rk.data.shape[0])]
         ks = SealKSwitchKeysBlob(parms_id, [vec])
@@ -126,8 +139,10 @@ def load_private_key(data: bytes) -> SecretKey:
     k_key, n = len(params.key_moduli), params.n
     if blob.data.size != k_key * n:
         raise invalid_encoding("secret key coefficient count mismatch")
-    return SecretKey(params, np.ascontiguousarray(
-        blob.data.reshape(k_key, n), dtype=np.uint64))
+    s_ntt = np.ascontiguousarray(blob.data.reshape(k_key, n),
+                                 dtype=np.uint64)
+    _check_residue_range(s_ntt, params.key_moduli, "secret key")
+    return SecretKey(params, s_ntt)
 
 
 def save_private_key(sk: SecretKey) -> bytes:
@@ -157,6 +172,7 @@ def load_ciphertext(data: bytes) -> Ciphertext:
         raise invalid_encoding("ciphertext dimensions disagree with params")
     if blob.is_ntt_form:
         raise invalid_encoding("BFV ciphertexts must be in coefficient form")
+    _check_residue_range(blob.data, params.ct_moduli, "ciphertext")
     return Ciphertext(params, np.ascontiguousarray(blob.data, dtype=np.uint64))
 
 

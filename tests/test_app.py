@@ -6,9 +6,14 @@ precompile round-trips through the full byte path with fresh keys (values
 transparent-ciphertext zero test.
 """
 import hashlib
+import importlib.resources
+import os
 
 import numpy as np
 import pytest
+
+needs_ref = pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                               reason="reference repo not mounted")
 
 from fhe_precompiles_tpu import FheApp, pack
 from fhe_precompiles_tpu.app import _CT_CODEC, PRECOMPILE_NAMES
@@ -142,6 +147,7 @@ def test_reencrypt_refresh_network_key():
     assert FHE.reencrypt_u256(re_in) == out
 
 
+@needs_ref
 def test_reencrypt_to_fixture_user_key():
     """fhe_reencrypt_test (fhe.rs:2188-2245) with the reference fixtures."""
     from fhe_precompiles_tpu.serialization import keyio
@@ -160,8 +166,12 @@ def test_reencrypt_to_fixture_user_key():
 
 
 def test_public_key_bytes_verbatim():
-    with open("/root/reference/src/data/network.pub", "rb") as f:
-        assert FHE.public_key_bytes(b"") == f.read()
+    embedded = (importlib.resources.files("fhe_precompiles_tpu")
+                / "data" / "network.pub").read_bytes()
+    assert FHE.public_key_bytes(b"") == embedded
+    if os.path.isdir("/root/reference"):
+        with open("/root/reference/src/data/network.pub", "rb") as f:
+            assert FHE.public_key_bytes(b"") == f.read()
 
 
 # ----------------------------------------------------------------------

@@ -39,10 +39,12 @@ def test_error_strings(native):
 
 
 def test_public_key_bytes(native):
+    import importlib.resources
     code, out = native.call("public_key_bytes", b"")
     assert code == 0
-    with open("/root/reference/src/data/network.pub", "rb") as f:
-        assert out == f.read()
+    embedded = (importlib.resources.files("fhe_precompiles_tpu")
+                / "data" / "network.pub").read_bytes()
+    assert out == embedded
 
 
 def test_encrypt_decrypt_roundtrip(native):
@@ -70,8 +72,22 @@ def test_standalone_c_host():
     exe = os.path.join(d, "host_test")
     subprocess.run(
         ["gcc", os.path.join(d, "host_test.c"), "-o", exe,
-         f"-L{d}", "-lc_fhe", "-Wl,-rpath,$ORIGIN"],
+         f"-L{d}", "-lc_fhe", "-lpthread", "-Wl,-rpath,$ORIGIN"],
         check=True, capture_output=True)
     res = subprocess.run([exe], capture_output=True, text=True, timeout=300)
     assert res.returncode == 0, res.stderr
     assert "HOST TEST PASSED" in res.stdout
+
+
+def test_concurrent_host_threads(native):
+    """Regression: after interpreter init the GIL must be released so a
+    second host thread can call in (deadlocked before the PyEval_SaveThread
+    fix in initialize_runtime)."""
+    import concurrent.futures
+
+    def worker(_):
+        code, out = native.call("public_key_bytes", b"")
+        return code == 0 and len(out) > 0
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        assert all(ex.map(worker, range(8), timeout=60))
