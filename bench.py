@@ -25,6 +25,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
 
+    profile_dir = None
+    if "--profile" in sys.argv:  # jax.profiler trace (SURVEY.md section 5)
+        profile_dir = "/tmp/fhe_tpu_trace"
+        jax.profiler.start_trace(profile_dir)
+        log(f"profiling to {profile_dir}")
+
     from fhe_precompiles_tpu.bfv import BfvContext
     from fhe_precompiles_tpu.encoding import encode_unsigned
     from fhe_precompiles_tpu.ops.engine import JaxEngine
@@ -87,6 +93,10 @@ def main():
     dt = (times[K_HI] - times[K_LO]) / (K_HI - K_LO)
     ops_per_sec = B / dt
     log(f"batch={B}: {dt*1e3:.1f} ms/batch -> {ops_per_sec:.1f} mul+relin/s")
+
+    if profile_dir:
+        jax.profiler.stop_trace()
+        log(f"trace written to {profile_dir}")
 
     baseline = 1000.0  # BASELINE.json north star: >= 1000 ops/sec/chip
     print(json.dumps({
