@@ -95,3 +95,27 @@ def test_two_multiplicative_levels(ctx, keys):
     assert ctx.noise_budget_bits(ab, sk) > 10
     abc = ctx.mul_relin(ab, c, pk.relin)
     assert decode_unsigned(ctx.decrypt(abc, sk), P, 64) == 105
+
+
+def test_behz_noise_bound_after_multiply():
+    """Phase-level BEHZ oracle: the invariant that survives the RNS lifts is
+    the *phase* noise -- round(t*phase(ct)/q) mod t must equal the product
+    message with noise far below the decryption threshold.  (A direct
+    coefficient-level comparison vs big-int round(t*c_ic_j/q) is vacuous:
+    the m-tilde lift adds q-multiples whose t-scaled images are arbitrary
+    mod q, so only the phase is comparable.)  noise_budget_bits computes
+    exactly this residual via exact CRT big-int arithmetic.
+    """
+    ctx = BfvContext(P)
+    pk, sk = ctx.generate_keys(seed=b"\xd9" * 64)
+    rng = np.random.default_rng(9)
+    for trial in range(4):
+        va = int(rng.integers(1, 1 << 20))
+        vb = int(rng.integers(1, 1 << 20))
+        a = ctx.encrypt(encode_unsigned(va, P, 64), pk, bytes([trial, 5]) * 32)
+        b = ctx.encrypt(encode_unsigned(vb, P, 64), pk, bytes([trial, 6]) * 32)
+        prod3 = ctx.multiply(a, b)                 # before relinearization
+        assert ctx.noise_budget_bits(prod3, sk) > 20
+        prod2 = ctx.relinearize(prod3, pk.relin)
+        assert ctx.noise_budget_bits(prod2, sk) > 20
+        assert decode_unsigned(ctx.decrypt(prod2, sk), P, 64) == va * vb
