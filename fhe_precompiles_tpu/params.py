@@ -209,8 +209,18 @@ BENCH_N8192 = Params(
     plain_modulus=ntt_friendly_primes(8192, 1, below=1 << 21)[0],
 )
 
+#: A production-grade candidate for a future testnet: larger ring (deeper
+#: multiplicative budget), SIMD-capable plain modulus t = 2^16 + 1 (prime,
+#: t ≡ 1 mod 2n), three ciphertext limbs + special prime.
+TESTNET_TWO_CANDIDATE = Params(
+    poly_modulus_degree=8192,
+    coeff_modulus=ntt_friendly_primes(8192, 4, below=1 << 37),
+    plain_modulus=65537,
+)
+
 PRESETS = {
     "testnet.one": TESTNET_ONE,
+    "testnet.two-candidate": TESTNET_TWO_CANDIDATE,
     "bench.n1024": BENCH_N1024,
     "bench.n8192": BENCH_N8192,
 }

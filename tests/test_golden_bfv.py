@@ -144,3 +144,23 @@ def test_n8192_four_limb_end_to_end():
     got = decode_unsigned(ctx.decrypt(ctx.mul_relin(a, b, pk.relin), sk),
                           BENCH_N8192, 64)
     assert got == 123456 * 789
+
+
+def test_testnet_two_candidate_preset():
+    """Future-testnet preset (the testnet.rs `one` -> `two` registry
+    pattern): n=8192, t=65537 (SIMD-capable), 3 ct limbs + special prime."""
+    from fhe_precompiles_tpu.params import TESTNET_TWO_CANDIDATE as P2
+    from fhe_precompiles_tpu.encoding import BatchEncoder
+    assert (P2.t - 1) % (2 * P2.n) == 0
+    ctx = BfvContext(P2)
+    pk, sk = ctx.generate_keys(seed=b"\x91" * 64)
+    a = ctx.encrypt(encode_unsigned(1234567, P2, 64), pk, b"\x92" * 64)
+    b = ctx.encrypt(encode_unsigned(89, P2, 64), pk, b"\x93" * 64)
+    prod = ctx.mul_relin(a, b, pk.relin)
+    assert decode_unsigned(ctx.decrypt(prod, sk), P2, 64) == 1234567 * 89
+    assert ctx.noise_budget_bits(prod, sk) > 60  # deep budget at n=8192
+    enc = BatchEncoder(P2)
+    vals = np.arange(enc.slot_count, dtype=np.uint64) % 1000
+    ca = ctx.encrypt(enc.encode(vals), pk, b"\x94" * 64)
+    out = enc.decode(ctx.decrypt(ctx.mul_relin(ca, ca, pk.relin), sk))
+    assert np.array_equal(out, vals * vals % np.uint64(P2.t))
