@@ -95,3 +95,54 @@ def test_nullary_roundtrip():
     data = pack.pack_nullary_operation(pk)
     out = pack.unpack_nullary_operation(data, pack.ObjectCodec(_FakeKey))
     assert out.payload == pk.payload
+
+
+# ----------------------------------------------------------------------
+# Full cross-product inverse laws (the pack.rs:268-1111 coverage pattern):
+# every (A, B) argument-type combination through two-argument and binary
+# framing must satisfy unpack(pack(x)) == x and pack-unpack-pack fixpoint.
+# ----------------------------------------------------------------------
+
+_SCALARS = [(pack.U64, 16), (pack.U256, 12), (pack.I64, -7),
+            (pack.FRAC64, 2.5), (pack.BYTES, b"\x09\x08")]
+
+
+@pytest.mark.parametrize("cb,vb", _SCALARS)
+@pytest.mark.parametrize("ca,va", _SCALARS)
+def test_two_arguments_cross_product(ca, va, cb, vb):
+    data = pack.pack_two_arguments(va, ca, vb, cb)
+    a, b = pack.unpack_two_arguments(data, ca, cb)
+    assert (a, b) == (va, vb)
+    assert pack.pack_two_arguments(a, ca, b, cb) == data
+
+
+@pytest.mark.parametrize("cb,vb", _SCALARS)
+@pytest.mark.parametrize("ca,va", _SCALARS)
+def test_binary_operation_cross_product(ca, va, cb, vb):
+    pk = _FakeKey(b"PK" * 17)
+    data = pack.pack_binary_operation(pk, va, ca, vb, cb)
+    k, a, b = pack.unpack_binary_operation(
+        data, pack.ObjectCodec(_FakeKey), ca, cb)
+    assert k.payload == pk.payload
+    assert (a, b) == (va, vb)
+    assert pack.pack_binary_operation(k, a, ca, b, cb) == data
+
+
+def test_real_ciphertext_through_framing():
+    """Ciphertext/PublicKey objects through the framing (the bincode-object
+    rows of the reference cross-product)."""
+    from fhe_precompiles_tpu.bfv import BfvContext
+    from fhe_precompiles_tpu.bfv.golden import Ciphertext
+    from fhe_precompiles_tpu.encoding import encode_unsigned
+    from fhe_precompiles_tpu.params import TESTNET_ONE
+    import numpy as np
+    ctx = BfvContext(TESTNET_ONE)
+    pk, _ = ctx.generate_keys(seed=b"\x21" * 64, relin=False)
+    ct = ctx.encrypt(encode_unsigned(3, TESTNET_ONE, 64), pk, b"\x22" * 64)
+    codec = pack.ObjectCodec(Ciphertext)
+    data = pack.pack_binary_operation(pk, ct, codec, 5, pack.U64)
+    k, a, b = pack.unpack_binary_operation(
+        data, pack.ObjectCodec(type(pk)), codec, pack.U64)
+    assert np.array_equal(a.data, ct.data)
+    assert b == 5
+    assert np.array_equal(k.data, pk.data)
