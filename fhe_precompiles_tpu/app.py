@@ -38,7 +38,39 @@ ENCRYPT_PRIVATE_CONSTANT = bytes([
 ])
 
 _CT_CODEC = pack.ObjectCodec(Ciphertext)
-_PK_CODEC = pack.ObjectCodec(PublicKey)
+
+
+class _CachedPkCodec(pack.ObjectCodec):
+    """Digest-keyed LRU over public-key parsing.
+
+    Calldata carries the full pk + relin keys (~400 KB of zstd) on every
+    binary op; serving streams reuse a handful of keys, so caching the
+    parsed (immutable) PublicKey removes ~1.5 ms/call of decompression.
+    Keyed by the exact input bytes -- semantics are unchanged.
+    """
+
+    _MAX = 16
+
+    def __init__(self):
+        super().__init__(PublicKey)
+        self._cache: "dict[bytes, PublicKey]" = {}
+        self._order: "list[bytes]" = []
+
+    def deserialize(self, data: bytes) -> PublicKey:
+        key = hashlib.sha256(data).digest()
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        obj = super().deserialize(data)
+        self._cache[key] = obj
+        self._order.append(key)
+        if len(self._order) > self._MAX:
+            evict = self._order.pop(0)
+            self._cache.pop(evict, None)
+        return obj
+
+
+_PK_CODEC = _CachedPkCodec()
 
 _SCALAR_CODECS = {
     "u256": pack.U256, "u64": pack.U64, "i64": pack.I64, "frac64": pack.FRAC64,
