@@ -33,6 +33,14 @@ _SCHEME_TAGS = {"bfv": 0}
 _SECURITY_TAGS = {"tc128": 0}
 
 
+def _check_parms_id(blob_id: bytes, params: Params, moduli, what: str) -> None:
+    """SEAL validates the embedded parms_id against the context on load;
+    mirror that so header corruption is rejected rather than ignored."""
+    want = compute_parms_id(params.n, moduli, params.t)
+    if bytes(blob_id) != want:
+        raise invalid_encoding(f"{what} parms_id does not match parameters")
+
+
 def _check_residue_range(data: np.ndarray, moduli, what: str) -> None:
     """Reject residues >= their modulus: out-of-range words are not valid
     wire data, and golden vs accelerated arithmetic only agree on canonical
@@ -79,6 +87,7 @@ def load_public_key(data: bytes) -> PublicKey:
         raise invalid_encoding("public key blob is not a size-2 NTT ciphertext")
     if blob.k != len(params.key_moduli) or blob.n != params.n:
         raise invalid_encoding("public key dimensions disagree with params")
+    _check_parms_id(blob.parms_id, params, params.key_moduli, "public key")
     _check_residue_range(blob.data, params.key_moduli, "public key")
     pk = PublicKey(params, np.ascontiguousarray(blob.data, dtype=np.uint64))
 
@@ -95,6 +104,8 @@ def load_public_key(data: bytes) -> PublicKey:
         if len(vec) != k_ct:
             raise invalid_encoding("relin decomposition count mismatch")
         arr = np.stack([c.data for c in vec])         # (k_ct, 2, k_key, n)
+        _check_parms_id(ks.parms_id, rk_params, rk_params.key_moduli,
+                        "relin keys")
         _check_residue_range(arr, rk_params.key_moduli, "relin key")
         rk = RelinKeys(rk_params, np.ascontiguousarray(arr, dtype=np.uint64))
     r.expect_end()
@@ -141,6 +152,7 @@ def load_private_key(data: bytes) -> SecretKey:
         raise invalid_encoding("secret key coefficient count mismatch")
     s_ntt = np.ascontiguousarray(blob.data.reshape(k_key, n),
                                  dtype=np.uint64)
+    _check_parms_id(blob.parms_id, params, params.key_moduli, "secret key")
     _check_residue_range(s_ntt, params.key_moduli, "secret key")
     return SecretKey(params, s_ntt)
 
@@ -172,6 +184,7 @@ def load_ciphertext(data: bytes) -> Ciphertext:
         raise invalid_encoding("ciphertext dimensions disagree with params")
     if blob.is_ntt_form:
         raise invalid_encoding("BFV ciphertexts must be in coefficient form")
+    _check_parms_id(blob.parms_id, params, params.ct_moduli, "ciphertext")
     _check_residue_range(blob.data, params.ct_moduli, "ciphertext")
     return Ciphertext(params, np.ascontiguousarray(blob.data, dtype=np.uint64))
 
