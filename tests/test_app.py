@@ -239,3 +239,41 @@ def test_jax_engine_app_bitexact_with_golden_app():
         out_g = getattr(FHE, op)(data)
         out_j = getattr(jax_app, op)(data)
         assert out_g == out_j, op
+
+
+def test_refresh_golden_digest_pinned():
+    """The fhe_refresh_test golden-hash pattern (fhe.rs:2143-2185): the full
+    reencrypt-to-network-key output bytes are pinned."""
+    import json
+    enc_in = pack.pack_two_arguments(12, pack.U256, b"\x01\x02\x03",
+                                     pack.BYTES)
+    ct = Ciphertext.from_bytes(FHE.encrypt_u256(enc_in))
+    re_in = pack.pack_binary_operation(FHE.public_key, ct, _CT_CODEC,
+                                       b"\x01\x02\x03", pack.BYTES)
+    digest = hashlib.sha512(FHE.reencrypt_u256(re_in)).hexdigest()
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "golden_hashes.json")
+    with open(path) as f:
+        golden = json.load(f)
+    assert digest == golden["refresh_u256_12_010203"]
+
+
+@needs_ref
+def test_reencrypt_golden_digest_pinned():
+    """The fhe_reencrypt_test golden-hash pattern (fhe.rs:2188-2245):
+    key-switch to the reference fixture key, output bytes pinned."""
+    import json
+    from fhe_precompiles_tpu.serialization import keyio
+    with open("/root/reference/tests/data/public_key.bin", "rb") as f:
+        usr_pk = keyio.load_public_key(f.read())
+    enc_in = pack.pack_two_arguments(12, pack.U256, b"\x01\x02\x03",
+                                     pack.BYTES)
+    ct = Ciphertext.from_bytes(FHE.encrypt_u256(enc_in))
+    re_in = pack.pack_binary_operation(usr_pk, ct, _CT_CODEC,
+                                       b"\x01\x02\x03", pack.BYTES)
+    digest = hashlib.sha512(FHE.reencrypt_u256(re_in)).hexdigest()
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "golden_hashes.json")
+    with open(path) as f:
+        golden = json.load(f)
+    assert digest == golden["reencrypt_u256_12_to_fixture_key"]
