@@ -277,3 +277,28 @@ def test_reencrypt_golden_digest_pinned():
     with open(path) as f:
         golden = json.load(f)
     assert digest == golden["reencrypt_u256_12_to_fixture_key"]
+
+
+def test_cross_process_determinism():
+    """Consensus across independently started validators: a fresh Python
+    process must produce byte-identical encrypt output (catches any
+    process-dependent state leaking into the canonical bytes)."""
+    import hashlib as _h
+    import subprocess
+    import sys
+    data = pack.pack_two_arguments(12, pack.U256, b"\x01\x02\x03", pack.BYTES)
+    here = _h.sha512(FHE.encrypt_u256(data)).hexdigest()
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import hashlib\n"
+        "from fhe_precompiles_tpu import pack\n"
+        "from fhe_precompiles_tpu.testnet import one\n"
+        "d = pack.pack_two_arguments(12, pack.U256, b'\\x01\\x02\\x03',"
+        " pack.BYTES)\n"
+        "print(hashlib.sha512(one.FHE.encrypt_u256(d)).hexdigest())\n")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-500:]
+    assert out.stdout.strip().splitlines()[-1] == here
