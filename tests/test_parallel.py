@@ -138,3 +138,14 @@ def test_run_pooled_fused_matches_plain(ctx, eng, keys, sample_cts):
             got = decode_signed(ctx.decrypt(
                 Ciphertext(SMALL, arr[slot]), sk), SMALL)
             assert got == want
+
+
+def test_multihost_helpers_single_host():
+    from fhe_precompiles_tpu.parallel import multihost
+    # single-host: initialize must be a no-op, mesh spans local devices
+    multihost.initialize()
+    assert multihost.is_primary()
+    mesh = multihost.global_mesh(tp=2)
+    assert mesh.shape["dp"] * mesh.shape["tp"] == len(jax.devices())
+    with pytest.raises(ValueError):
+        multihost.global_mesh(dp=3, tp=3)  # 9 != 8 devices
