@@ -105,6 +105,10 @@ class FheApp:
         self._public_key_bytes = network_public_key_bytes
         self.public_key = keyio.load_public_key(network_public_key_bytes)
         self.private_key = keyio.load_private_key(network_private_key_bytes)
+        if (self.public_key.params != params
+                or self.private_key.params != params):
+            raise FheError(FheErrorCode.INVALID_ENCODING,
+                           "network key parameter set mismatch")
         self._engine_name = engine
         self._engine = None
         if engine == "jax":
@@ -152,6 +156,18 @@ class FheApp:
         except Exception as exc:
             raise FheError(FheErrorCode.RUNTIME_ERROR, str(exc)) from exc
 
+    def _check_params(self, obj, code: FheErrorCode) -> None:
+        """Reject objects whose embedded Params differ from the app's.
+
+        The reference hits SEAL's parms_id check inside the runtime, so a
+        mismatch surfaces as the stage's runtime failure code (run -> 7,
+        decrypt -> 5, encrypt -> 6), never as silent wrong-modulus compute.
+        Without this, a blob carrying forged moduli would be range-checked
+        against its *own* moduli only and could split consensus.
+        """
+        if obj is not None and obj.params != self.params:
+            raise FheError(code, "parameter set mismatch")
+
     def _binary_op(self, op: str, shape: str, tname: str,
                    input_bytes: bytes) -> bytes:
         """The fhe_binary_op path (fhe.rs:21-31)."""
@@ -161,6 +177,11 @@ class FheApp:
         cb = _CT_CODEC if shape in ("cc", "pc") else scalar
         public_key, a, b = pack.unpack_binary_operation(
             input_bytes, _PK_CODEC, ca, cb)
+        self._check_params(public_key, FheErrorCode.RUNTIME_ERROR)
+        if shape in ("cc", "cp"):
+            self._check_params(a, FheErrorCode.RUNTIME_ERROR)
+        if shape in ("cc", "pc"):
+            self._check_params(b, FheErrorCode.RUNTIME_ERROR)
         result = self._run_op(op, shape, ptype, a, b, public_key)
         return result.to_bytes()
 
@@ -194,6 +215,8 @@ class FheApp:
         ptype = _TYPE_BY_NAME[tname]
         public_key, ciphertext, public_data = pack.unpack_binary_operation(
             input_bytes, _PK_CODEC, _CT_CODEC, pack.BYTES)
+        self._check_params(ciphertext, FheErrorCode.FAILED_DECRYPTION)
+        self._check_params(public_key, FheErrorCode.FAILED_ENCRYPTION)
         public_data = public_data + input_bytes  # fhe.rs:676
         try:
             poly = self.ctx.decrypt(ciphertext, self.private_key)
@@ -219,6 +242,7 @@ class FheApp:
         scalar = _SCALAR_CODECS[tname]
         ptype = _TYPE_BY_NAME[tname]
         ciphertext = pack.unpack_one_argument(input_bytes, _CT_CODEC)
+        self._check_params(ciphertext, FheErrorCode.FAILED_DECRYPTION)
         try:
             poly = self.ctx.decrypt(ciphertext, self.private_key)
             value = ptype.decode(poly, self.params)
@@ -241,6 +265,7 @@ class FheApp:
         to fail.  Requires the network private key (server-side only).
         """
         ct = Ciphertext.from_bytes(ciphertext_bytes)
+        self._check_params(ct, FheErrorCode.FAILED_DECRYPTION)
         return self.ctx.noise_budget_bits(ct, self.private_key)
 
     # ------------------------------------------------------------------

@@ -61,7 +61,14 @@ def read_params(r: Reader) -> Params:
         raise invalid_encoding(f"unsupported scheme tag {scheme}")
     if security != 0:
         raise invalid_encoding(f"unsupported security tag {security}")
-    return Params(poly_modulus_degree=n, coeff_modulus=mods, plain_modulus=t)
+    params = Params(poly_modulus_degree=n, coeff_modulus=mods, plain_modulus=t)
+    try:
+        # untrusted bytes: enforce the arithmetic preconditions (moduli
+        # < 2**37, NTT-friendly, power-of-two n) before anything computes
+        params.validate()
+    except ValueError as exc:
+        raise invalid_encoding(str(exc)) from exc
+    return params
 
 
 def write_params(w: Writer, params: Params) -> None:

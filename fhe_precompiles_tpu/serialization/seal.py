@@ -173,6 +173,8 @@ class SealPlaintextBlob:
     @classmethod
     def parse_members(cls, data: bytes, off: int = 0
                       ) -> Tuple["SealPlaintextBlob", int]:
+        if len(data) - off < 32 + 16:
+            raise invalid_encoding("plaintext members truncated")
         parms_id = data[off:off + 32]
         coeff_count, scale = struct.unpack_from("<Qd", data, off + 32)
         arr, end = _unpack_dynarray(data, off + 32 + 16)
@@ -212,11 +214,15 @@ class SealKSwitchKeysBlob:
     @classmethod
     def parse_members(cls, data: bytes, off: int = 0
                       ) -> Tuple["SealKSwitchKeysBlob", int]:
+        if len(data) - off < 40:
+            raise invalid_encoding("kswitch members truncated")
         parms_id = data[off:off + 32]
         nvec = struct.unpack_from("<Q", data, off + 32)[0]
         off += 40
         keys = []
         for _ in range(nvec):
+            if len(data) - off < 8:
+                raise invalid_encoding("kswitch vector count truncated")
             cnt = struct.unpack_from("<Q", data, off)[0]
             off += 8
             vec = []
