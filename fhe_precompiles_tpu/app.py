@@ -199,9 +199,10 @@ class FheApp:
         h.update(ENCRYPT_PRIVATE_CONSTANT)
         h.update(scalar.serialize(plain))
         seed = h.digest()
+        eng = self._engine if self._engine is not None else self.ctx
         try:
-            ct = self.ctx.encrypt(ptype.encode(plain, self.params),
-                                  self.public_key, seed)
+            ct = eng.encrypt(ptype.encode(plain, self.params),
+                             self.public_key, seed)
         except Exception as exc:
             # reference maps every encrypt-side failure (incl. encoding
             # overflow) to FailedEncryption, fhe.rs:616
@@ -218,8 +219,9 @@ class FheApp:
         self._check_params(ciphertext, FheErrorCode.FAILED_DECRYPTION)
         self._check_params(public_key, FheErrorCode.FAILED_ENCRYPTION)
         public_data = public_data + input_bytes  # fhe.rs:676
+        eng = self._engine if self._engine is not None else self.ctx
         try:
-            poly = self.ctx.decrypt(ciphertext, self.private_key)
+            poly = eng.decrypt(ciphertext, self.private_key)
             value = ptype.decode(poly, self.params)
         except Exception as exc:
             # reference maps every decrypt-side failure (incl. decode
@@ -230,8 +232,8 @@ class FheApp:
         h.update(scalar.serialize(value))
         seed = h.digest()
         try:
-            ct = self.ctx.encrypt(ptype.encode(value, self.params),
-                                  public_key, seed)
+            ct = eng.encrypt(ptype.encode(value, self.params),
+                             public_key, seed)
         except Exception as exc:
             raise failed_encryption(str(exc)) from exc
         return ct.to_bytes()
@@ -243,8 +245,9 @@ class FheApp:
         ptype = _TYPE_BY_NAME[tname]
         ciphertext = pack.unpack_one_argument(input_bytes, _CT_CODEC)
         self._check_params(ciphertext, FheErrorCode.FAILED_DECRYPTION)
+        eng = self._engine if self._engine is not None else self.ctx
         try:
-            poly = self.ctx.decrypt(ciphertext, self.private_key)
+            poly = eng.decrypt(ciphertext, self.private_key)
             value = ptype.decode(poly, self.params)
         except Exception as exc:
             # reference: all decrypt failures -> FailedDecryption (fhe.rs:696)

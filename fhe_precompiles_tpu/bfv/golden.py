@@ -246,6 +246,18 @@ class BfvContext:
         xof_e = Blake2Xof(seed, DOMAIN_ERROR)
         e0 = sample_cbd(xof_e, n)
         e1 = sample_cbd(xof_e, n)
+        return self.encrypt_with_randomness(plain, pk, u, e0, e1)
+
+    def encrypt_with_randomness(self, plain: np.ndarray, pk: PublicKey,
+                                u: np.ndarray, e0: np.ndarray,
+                                e1: np.ndarray) -> Ciphertext:
+        """Public-key encryption with caller-supplied randomness polynomials
+        (signed int64: u ternary, e0/e1 noise).  Used by the framework's own
+        deterministic path and by the SEAL-compatible sampler
+        (seal_compat.encryptor); algebra = SEAL's encrypt_zero_asymmetric +
+        multiply_add_plain_with_scaling_variant, which is exact modular
+        arithmetic, so identical randomness => identical ciphertext words."""
+        n = self.n
         plain_idx = np.asarray(plain, dtype=np.uint64)
 
         dm = self._scale_plain(plain_idx)                # round(q*m/t) mod q_j

@@ -516,3 +516,18 @@ class JaxEngine:
                               jnp.asarray(b.data)[None],
                               jnp.asarray(rk.data))
         return self._wrap(out[0])
+
+    # ------------------------------------------------------------------
+    # single-item threshold-API protocol (mirrors BfvContext.encrypt /
+    # .decrypt so FheApp can route the encrypt/reencrypt/decrypt
+    # precompiles through the accelerated path too)
+    # ------------------------------------------------------------------
+    def encrypt(self, plain: np.ndarray, pk: PublicKey,
+                seed: bytes) -> Ciphertext:
+        out = self.encrypt_batch(np.asarray(plain, dtype=np.uint64)[None],
+                                 pk, [seed])
+        return self._wrap(out[0])
+
+    def decrypt(self, ct: Ciphertext, sk) -> np.ndarray:
+        out = self.decrypt_batch(jnp.asarray(ct.data)[None], sk)
+        return np.asarray(jax.device_get(out[0]), dtype=np.uint64)
