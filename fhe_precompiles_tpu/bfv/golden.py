@@ -290,10 +290,8 @@ class BfvContext:
             out[j] = intt(acc, tb)
         return out
 
-    def decrypt(self, ct: Ciphertext, sk: SecretKey) -> np.ndarray:
-        """Returns the plaintext polynomial mod t (exact CRT scale-and-round)."""
-        dot = self._dot_with_secret(ct, sk)
-        # CRT-compose each coefficient to an exact integer in [0, q)
+    def _message_from_dot(self, dot: np.ndarray) -> np.ndarray:
+        """CRT-compose dot residues to x in [0, q), then round(t*x/q) mod t."""
         x = np.zeros(self.n, dtype=object)
         for j, p in enumerate(self.q_mods):
             y = mulmod(dot[j], np.uint64(self.q_hat_inv[j]), p).astype(object)
@@ -303,20 +301,37 @@ class BfvContext:
         m = (t * x + q // 2) // q % t
         return m.astype(np.uint64)
 
+    def decrypt(self, ct: Ciphertext, sk: SecretKey) -> np.ndarray:
+        """Returns the plaintext polynomial mod t (exact CRT scale-and-round)."""
+        return self._message_from_dot(self._dot_with_secret(ct, sk))
+
     def noise_budget_bits(self, ct: Ciphertext, sk: SecretKey) -> float:
-        """log2(q / (2*|noise|)) -- observability metric (SURVEY.md section 5)."""
+        """log2(q / (2*|noise|)) -- observability metric (SURVEY.md section 5).
+
+        The noise magnitude is computed division-free: noise residues are
+        formed in RNS (dot - round(q*m/t) per limb, all uint64 vectorized),
+        then CRT-composed with 128-bit numpy arithmetic (q < 2**111) and
+        centered -- no per-coefficient big-int loops.
+        """
+        from . import uint128 as u128
         dot = self._dot_with_secret(ct, sk)
-        x = np.zeros(self.n, dtype=object)
+        m = self._message_from_dot(dot)
+        dm = self._scale_plain(m)                 # round(q*m/t) mod q_j
+        q = self.q
+        acc = u128.zeros(self.n)
         for j, p in enumerate(self.q_mods):
-            y = mulmod(dot[j], np.uint64(self.q_hat_inv[j]), p).astype(object)
-            x += y * self.q_hat[j]
-        x %= self.q
-        t, q = self.t, self.q
-        m = (t * x + q // 2) // q % t
-        scaled = (q * m.astype(object) + t // 2) // t
-        noise = (x - scaled) % q
-        centered = np.where(noise > q // 2, noise - q, noise)
-        worst = max(1, max(abs(int(v)) for v in centered))
+            noise_j = submod(dot[j], dm[j], p)
+            y = mulmod(noise_j, np.uint64(self.q_hat_inv[j]), p)
+            acc = u128.add(acc, u128.mul_const(y, self.q_hat[j]))
+        q128 = u128.from_int(q, self.n)
+        for _ in range(self.k - 1):
+            over = u128.geq(acc, q128)
+            acc = u128.select(over, u128.sub(acc, q128), acc)
+        # centered magnitude: min(x, q - x)
+        flip = u128.sub(q128, acc)
+        half = u128.from_int(q // 2, self.n)
+        centered = u128.select(u128.geq(half, acc), acc, flip)
+        worst = max(1, u128.max_value(centered))
         return math.log2(q) - 1 - math.log2(worst)
 
     # ------------------------------------------------------------------

@@ -164,3 +164,29 @@ def test_testnet_two_candidate_preset():
     ca = ctx.encrypt(enc.encode(vals), pk, b"\x94" * 64)
     out = enc.decode(ctx.decrypt(ctx.mul_relin(ca, ca, pk.relin), sk))
     assert np.array_equal(out, vals * vals % np.uint64(P2.t))
+
+
+def test_noise_budget_uint128_matches_object_math(ctx, keys):
+    """The division-free uint128 noise CRT must equal exact big-int math."""
+    import math
+    from fhe_precompiles_tpu.bfv.modmath import mulmod
+    pk, sk = keys
+    ct = ctx.encrypt(np.arange(ctx.n, dtype=np.uint64) % 2, pk, b"\x31" * 64)
+    ct2 = ctx.mul_relin(
+        ct, ctx.encrypt(np.ones(ctx.n, dtype=np.uint64), pk, b"\x32" * 64),
+        pk.relin)
+    for c in (ct, ct2):
+        dot = ctx._dot_with_secret(c, sk)
+        x = np.zeros(ctx.n, dtype=object)
+        for j, p in enumerate(ctx.q_mods):
+            y = mulmod(dot[j], np.uint64(ctx.q_hat_inv[j]), p).astype(object)
+            x += y * ctx.q_hat[j]
+        x %= ctx.q
+        t, q = ctx.t, ctx.q
+        m = (t * x + q // 2) // q % t
+        scaled = (q * m.astype(object) + t // 2) // t
+        noise = (x - scaled) % q
+        centered = np.where(noise > q // 2, noise - q, noise)
+        worst = max(1, max(abs(int(v)) for v in centered))
+        expect = math.log2(q) - 1 - math.log2(worst)
+        assert ctx.noise_budget_bits(c, sk) == expect
