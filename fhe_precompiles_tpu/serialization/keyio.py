@@ -98,8 +98,13 @@ def load_public_key(data: bytes) -> PublicKey:
     _check_residue_range(blob.data, params.key_moduli, "public key")
     pk = PublicKey(params, np.ascontiguousarray(blob.data, dtype=np.uint64))
 
-    if r.option():  # galois keys -- reference always strips them
-        raise invalid_encoding("galois keys unsupported (no rotation ops)")
+    if r.option():
+        # The reference's own keygen strips galois keys (fhe.rs:34-44) but
+        # its deserializer would still accept a pk carrying them, so skip
+        # the blob (WithContext { Params, Vec<u8> }) rather than reject:
+        # no rotation ops exist, the keys are simply unused.
+        read_params(r)
+        r.byte_vec()
     rk = None
     if r.option():
         rk_params = read_params(r)
