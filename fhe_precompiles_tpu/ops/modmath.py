@@ -14,10 +14,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-_M32 = jnp.uint64(0xFFFFFFFF)
-_S32 = jnp.uint64(32)
-_S19 = jnp.uint64(19)
-_MASK19 = jnp.uint64((1 << 19) - 1)
+# numpy scalars, not jnp: creating device values at import time would
+# initialize the XLA backend before jax.distributed.initialize can run
+_M32 = np.uint64(0xFFFFFFFF)
+_S32 = np.uint64(32)
+_S19 = np.uint64(19)
+_MASK19 = np.uint64((1 << 19) - 1)
 
 
 def hi64(x, y):
