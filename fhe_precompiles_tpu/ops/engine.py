@@ -28,7 +28,7 @@ from ..bfv.modmath import invmod
 from ..params import Params
 from ..sampling import (Blake2Xof, DOMAIN_ERROR, DOMAIN_TERNARY, sample_cbd,
                         sample_ternary)
-from .modmath import (addmod, barrett_mu, barrett_reduce, mulmod,
+from .modmath import (addmod, barrett_mu, barrett_reduce, csub_reduce, mulmod,
                       mulmod_shoup, negmod, shoup_precompute, submod)
 from .ntt import build_tables, intt, ntt
 
@@ -68,10 +68,18 @@ class JaxEngine:
         self.tb_all = build_tables(g.q_mods + g.Bsk, n)
         self.tb_key = build_tables(g.key_mods, n)
         if ntt_backend == "stage":
+            from .ntt import scale_n_inv
+            # INTT that also multiplies by t: the FastFloor pre-scale
+            # (tq = t * prod) folded into the inverse transform's n^-1
+            # twiddle -- saves one full general-modmul pass over the
+            # (B, 3, nb, n) product tensor, bit-exactly.
+            tb_all_t = scale_n_inv(self.tb_all,
+                                   [params.t] * len(self.tb_all.p))
             self._ntt_q = lambda x: ntt(x, self.tb_q)
             self._intt_q = lambda x: intt(x, self.tb_q)
             self._ntt_all = lambda x: ntt(x, self.tb_all)
             self._intt_all = lambda x: intt(x, self.tb_all)
+            self._intt_all_tscaled = lambda x: intt(x, tb_all_t)
             self._ntt_key = lambda x: ntt(x, self.tb_key)
             self._intt_key = lambda x: intt(x, self.tb_key)
         elif ntt_backend == "pallas":
@@ -81,6 +89,7 @@ class JaxEngine:
             pkk = PallasNtt(tuple(g.key_mods), n)
             self._ntt_q, self._intt_q = pq.ntt, pq.intt
             self._ntt_all, self._intt_all = pa.ntt, pa.intt
+            self._intt_all_tscaled = None     # falls back to intt + mulmod
             self._ntt_key, self._intt_key = pkk.ntt, pkk.intt
         else:
             raise ValueError(f"unknown ntt_backend {ntt_backend!r}")
@@ -183,6 +192,17 @@ class JaxEngine:
                 np.array(g.inv_P_mod_q).reshape(k, 1),
                 np.array(g.q_mods).reshape(k, 1))
 
+        # range-bounded reduction step counts (see modmath.csub_reduce):
+        # inputs provably < bound are reduced with `steps` conditional
+        # subtracts instead of a Barrett pass
+        max_ct = max(g.q_mods) - 1
+        self.steps_ct_mod_key = max(max_ct // p for p in g.key_mods)
+        if params.special_modulus is not None:
+            self.steps_P_mod_q = max(
+            (params.special_modulus - 1) // p for p in g.q_mods)
+        self.steps_msk_mod_q = max((g.m_sk - 1) // p for p in g.q_mods)
+        self.steps_t_mod_q = max((params.t - 1) // p for p in g.q_mods)
+
         self._jit_cache = {}
 
     # ==================================================================
@@ -239,7 +259,8 @@ class JaxEngine:
     def _mul_plain(self):
         def f(ct, m):
             # lift plain poly mod each q_j, NTT once, multiply every component
-            m_rns = barrett_reduce(m[..., None, :], self.q_mods, self.mu_q)
+            m_rns = csub_reduce(m[..., None, :], self.q_mods,
+                                self.steps_t_mod_q)
             m_ntt = self._ntt_q(m_rns)
             c_ntt = self._ntt_q(ct)
             out = mulmod(c_ntt, m_ntt[..., None, :, :], self.q_mods, self.mu_q)
@@ -327,9 +348,15 @@ class JaxEngine:
             t1 = addmod(mulmod(fa[:, 0], fb[:, 1], p_all, mu_all),
                         mulmod(fa[:, 1], fb[:, 0], p_all, mu_all), p_all)
             t2 = mulmod(fa[:, 1], fb[:, 1], p_all, mu_all)
-            prod = self._intt_all(jnp.stack([t0, t1, t2], axis=1))
-            # FastFloor per component: floor(t * prod / q) exact-ish in Bsk
-            tq = mulmod(prod, jnp.uint64(self.params.t), p_all, mu_all)
+            stacked = jnp.stack([t0, t1, t2], axis=1)
+            # FastFloor pre-scale tq = t * INTT(prod): the t-multiply is
+            # folded into the INTT's n^-1 twiddle where the backend
+            # supports it (bit-exact either way)
+            if self._intt_all_tscaled is not None:
+                tq = self._intt_all_tscaled(stacked)
+            else:
+                tq = mulmod(self._intt_all(stacked),
+                            jnp.uint64(self.params.t), p_all, mu_all)
             conv = self._fastbconv_q_to(tq[..., :k, :], *self.q_hat_mod_x,
                                         self.bsk_mt_mods)[..., :-1, :]
             num = submod(tq[..., k:, :], conv, self.bsk)
@@ -346,7 +373,8 @@ class JaxEngine:
             """(B, 3, k, n) + rk (k, 2, k_key, n) -> (B, 2, k, n)."""
             c2 = ct3[:, 2]                                       # (B, k, n)
             # lift every decomp digit mod every key prime: (B, k, k_key, n)
-            d = barrett_reduce(c2[:, :, None, :], self.key_mods, self.mu_key)
+            d = csub_reduce(c2[:, :, None, :], self.key_mods,
+                            self.steps_ct_mod_key)
             d_ntt = self._ntt_key(d)
             pk_, mu_ = self.key_mods, self.mu_key
             acc0 = mulmod(d_ntt[:, 0], rk[0, 0], pk_, mu_)
@@ -360,7 +388,8 @@ class JaxEngine:
             xP = acc[..., self.k_key - 1, :]
             xP_half = addmod(xP, half, P)
             corr = submod(
-                barrett_reduce(xP_half[..., None, :], self.q_mods, self.mu_q),
+                csub_reduce(xP_half[..., None, :], self.q_mods,
+                            self.steps_P_mod_q),
                 self.half_mod_q, self.q_mods)
             ti = submod(acc[..., :self.k, :], corr, self.q_mods)
             res = mulmod_shoup(ti, *self.inv_P_mod_q, self.q_mods)

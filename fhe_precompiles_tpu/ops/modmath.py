@@ -91,3 +91,19 @@ def barrett_mu(p) -> np.ndarray:
     flat = arr.reshape(-1)
     out = np.array([(1 << 64) // int(q) for q in flat], dtype=np.uint64)
     return out.reshape(arr.shape)
+
+
+def csub_reduce(x, p, steps: int):
+    """x mod p via `steps` conditional subtracts -- exact iff x < (steps+1)*p.
+
+    For range-bounded inputs (e.g. residues < 2**37 reduced mod ~2**36
+    primes) this replaces a full Barrett reduction (one 64x64 mulhi + two
+    multiplies) with 1-2 compare-selects; callers compute `steps` host-side
+    from the proven input bound.
+    """
+    # broadcast against the modulus stack even when steps == 0 (callers
+    # rely on barrett_reduce's implicit limb-axis broadcast)
+    x = jnp.broadcast_to(x, jnp.broadcast_shapes(jnp.shape(x), np.shape(p)))
+    for _ in range(steps):
+        x = jnp.where(x >= p, x - p, x)
+    return x

@@ -100,3 +100,21 @@ def pointwise_mulmod(a: jnp.ndarray, b: jnp.ndarray,
                      tb: StackedNttTables) -> jnp.ndarray:
     """General (data x data) product mod the stacked moduli, shape (..., L, n)."""
     return mulmod(a, b, tb.p, tb.mu)
+
+
+def scale_n_inv(tb: StackedNttTables, factors: Sequence[int]
+                ) -> StackedNttTables:
+    """Tables whose inverse transform also multiplies by `factors[limb]`.
+
+    Folds a constant per-limb scale (e.g. the plaintext modulus t in
+    BFV's FastFloor) into the INTT's final n^-1 twiddle -- one fused
+    Shoup multiply instead of a separate general modmul pass.  Exact:
+    (x * n_inv mod p) * c mod p == x * (n_inv * c mod p) mod p.
+    """
+    import dataclasses as _dc
+    p = tb.p.reshape(-1)
+    n_inv = (tb.n_inv.reshape(-1).astype(object)
+             * np.array(list(factors), dtype=object)) % p.astype(object)
+    n_inv = n_inv.astype(np.uint64).reshape(tb.n_inv.shape)
+    return _dc.replace(tb, n_inv=n_inv,
+                       n_inv_shoup=shoup_precompute(n_inv, tb.p))
