@@ -344,10 +344,13 @@ class JaxEngine:
             fa = self._ntt_all(ea)
             fb = self._ntt_all(eb)
             p_all, mu_all = self.tb_all.p, self.tb_all.mu
+            # Karatsuba over the 2x2 tensor: 3 general modmuls instead of 4
+            # (t1 = (a0+a1)(b0+b1) - t0 - t2; exact mod p)
             t0 = mulmod(fa[:, 0], fb[:, 0], p_all, mu_all)
-            t1 = addmod(mulmod(fa[:, 0], fb[:, 1], p_all, mu_all),
-                        mulmod(fa[:, 1], fb[:, 0], p_all, mu_all), p_all)
             t2 = mulmod(fa[:, 1], fb[:, 1], p_all, mu_all)
+            cross = mulmod(addmod(fa[:, 0], fa[:, 1], p_all),
+                           addmod(fb[:, 0], fb[:, 1], p_all), p_all, mu_all)
+            t1 = submod(submod(cross, t0, p_all), t2, p_all)
             stacked = jnp.stack([t0, t1, t2], axis=1)
             # FastFloor pre-scale tq = t * INTT(prod): the t-multiply is
             # folded into the INTT's n^-1 twiddle where the backend
