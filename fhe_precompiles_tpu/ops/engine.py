@@ -53,9 +53,21 @@ class JaxEngine:
     """All BFV ops as jitted, batch-stacked XLA programs for one param set."""
 
     def __init__(self, params: Params, golden: Optional[BfvContext] = None,
-                 ntt_backend: str = "stage"):
-        """ntt_backend: "stage" (fused XLA butterfly stages, default) or
-        "pallas" (fused MXU four-step kernels; TPU-only, bit-identical)."""
+                 ntt_backend: str = "auto"):
+        """ntt_backend: "auto" (platform-based selection), "stage" (fused
+        XLA butterfly stages) or "pallas" (fused MXU four-step kernels;
+        TPU-only, bit-identical).
+
+        "auto" resolves to "stage" everywhere today: on v5e the measured
+        stage rate (~0.65-1.0M transforms/s at n=4096 depending on stack
+        width) is at or above the Pallas fused kernel (~0.6M) because the
+        37-bit digit decomposition the MXU formulation needs inflates VPU
+        work more than the matmuls save (benchmarks/RESULTS.md roofline
+        notes); Pallas is unavailable off-TPU.  Revisit if a cheaper digit
+        scheme or larger n changes the balance.
+        """
+        if ntt_backend == "auto":
+            ntt_backend = "stage"
         self.params = params
         g = golden if golden is not None else BfvContext(params)
         self.golden = g
