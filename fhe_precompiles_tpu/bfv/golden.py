@@ -274,20 +274,25 @@ class BfvContext:
         return Ciphertext(self.params, ct)
 
     def _dot_with_secret(self, ct: Ciphertext, sk: SecretKey) -> np.ndarray:
-        """c0 + c1*s + c2*s^2 + ... mod each ct modulus, coefficient form."""
+        """c0 + c1*s + c2*s^2 + ... mod each ct modulus, coefficient form.
+
+        c0 stays in coefficient form (INTT(NTT(c0) + X) == c0 + INTT(X)
+        exactly), saving one forward transform per limb -- same trick as
+        the device path (ops/engine._decrypt_core), bit-identical output.
+        """
         n = self.n
         out = np.empty((self.k, n), dtype=np.uint64)
         for j, p in enumerate(self.q_mods):
             tb = self.tables[p]
-            acc = ntt(ct.data[0, j].copy(), tb)
+            acc = None
             s_ntt = sk.s_ntt[j]
             cur = s_ntt
             for comp in range(1, ct.size):
-                acc = addmod(acc, mulmod(ntt(ct.data[comp, j].copy(), tb),
-                                         cur, p), p)
+                term = mulmod(ntt(ct.data[comp, j].copy(), tb), cur, p)
+                acc = term if acc is None else addmod(acc, term, p)
                 if comp + 1 < ct.size:
                     cur = mulmod(cur, s_ntt, p)
-            out[j] = intt(acc, tb)
+            out[j] = addmod(ct.data[0, j], intt(acc, tb), p)
         return out
 
     def _message_from_dot(self, dot: np.ndarray) -> np.ndarray:

@@ -117,3 +117,21 @@ def test_device_decrypt_matches_golden(ctx, eng, keys, cts):
     out2 = np.asarray(eng.decrypt_batch(prod.data[None], sk))[0]
     assert np.array_equal(out2, ctx.decrypt(prod, sk))
     assert decode_unsigned(out2, TESTNET_ONE, 256) == 64
+
+
+def test_mul_relin_bitexact_at_n8192_preset():
+    """Pin the engine op-reduction bounds (csub steps, t-scaled INTT) on a
+    3-ct-limb / larger-t parameter set, not just testnet-one."""
+    from fhe_precompiles_tpu.bfv.golden import Ciphertext
+    from fhe_precompiles_tpu.params import BENCH_N8192
+    ctx8 = BfvContext(BENCH_N8192)
+    eng8 = JaxEngine(BENCH_N8192, golden=ctx8)
+    pk8, _ = ctx8.generate_keys(seed=b"\x53" * 64)
+    rng = np.random.default_rng(5)
+    mk = lambda s: Ciphertext(BENCH_N8192, np.stack([
+        np.stack([rng.integers(0, p, size=(BENCH_N8192.n,), dtype=np.uint64)
+                  for p in ctx8.q_mods]) for _ in range(s)]))
+    a, b = mk(2), mk(2)
+    want = ctx8.mul_relin(a, b, pk8.relin)
+    got = eng8.mul_relin(a, b, pk8.relin)
+    assert np.array_equal(got.data, want.data)
