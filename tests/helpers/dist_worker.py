@@ -15,6 +15,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")   # sitecustomize pins the TPU
                                             # tunnel; env vars don't override
 
+import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from fhe_precompiles_tpu.parallel import multihost  # noqa: E402
@@ -80,6 +81,38 @@ def main():
             assert dec == (100 + i) * (3 + i), dec
     print(f"DIST-OK process={process_id} shards="
           f"{len(out.addressable_shards)}", flush=True)
+
+    # ---- cross-process COLLECTIVE path: distributed NTT over sp=8 ----
+    # The dp workload above is embarrassingly parallel; this leg sends
+    # ppermute shard exchanges across the OS-process boundary (Gloo) and
+    # must stay bit-identical to the local transform.
+    from fhe_precompiles_tpu.ops.ntt import build_tables, ntt as local_ntt
+    from fhe_precompiles_tpu.parallel.dist_ntt import (make_distributed_ntt,
+                                                       shard_coeff_axis)
+    sp_mesh = jax.sharding.Mesh(
+        np.array(jax.devices()).reshape(8), axis_names=("sp",))
+    tb = build_tables(list(TESTNET_ONE.ct_moduli), TESTNET_ONE.n)
+    rng = np.random.default_rng(3)
+    poly = np.stack([
+        rng.integers(0, p, size=(TESTNET_ONE.n,), dtype=np.uint64)
+        for p in TESTNET_ONE.ct_moduli])
+    dntt, dintt = make_distributed_ntt(tb, sp_mesh)
+    sharding = jax.sharding.NamedSharding(
+        sp_mesh, jax.sharding.PartitionSpec(None, "sp"))
+    garr = jax.make_array_from_callback(poly.shape, sharding,
+                                        lambda idx: poly[idx])
+    got = dntt(garr)
+    got.block_until_ready()
+    want = np.asarray(local_ntt(jnp.asarray(poly), tb))
+    for shard in got.addressable_shards:
+        sl = shard.index
+        assert np.array_equal(np.asarray(shard.data), want[sl]), \
+            f"dist-NTT shard {sl} diverged across processes"
+    back = dintt(got)
+    back.block_until_ready()
+    for shard in back.addressable_shards:
+        assert np.array_equal(np.asarray(shard.data), poly[shard.index])
+    print(f"DIST-NTT-OK process={process_id}", flush=True)
 
 
 if __name__ == "__main__":

@@ -58,3 +58,4 @@ def test_two_process_distributed_mul_relin_bitexact():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"DIST-OK process={pid}" in out, out
+        assert f"DIST-NTT-OK process={pid}" in out, out
