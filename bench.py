@@ -77,22 +77,30 @@ def main():
         @jax.jit
         def f(x, rk):
             def body(c, _):
-                return eng._mul_relin.__wrapped__(c, c, rk)[:, :2], None
+                # DISTINCT operands (batch-rotated partner): chaining
+                # mul_relin(c, c) would let XLA CSE the two operands'
+                # forward NTT/base-extension work and overstate general
+                # multiply throughput by ~30% (measured round 2)
+                return eng._mul_relin.__wrapped__(
+                    c, jnp.roll(c, 1, axis=0), rk)[:, :2], None
             y, _ = jax.lax.scan(body, x, None, length=K)
             return jnp.sum(y)
         return f
 
     K_LO, K_HI = 4, 24
-    times = {}
+    times = {K: [] for K in (K_LO, K_HI)}
     for K in (K_LO, K_HI):
-        f = make_chain(K)
-        np.asarray(f(a, rk))            # compile + sync
-        t0 = time.time()
-        np.asarray(f(a, rk))
-        times[K] = time.time() - t0
-    dt = (times[K_HI] - times[K_LO]) / (K_HI - K_LO)
+        np.asarray(make_chain(K)(a, rk))    # compile + sync
+    for _ in range(3):                      # min-of-3: tunnel noise is 10-15%
+        for K in (K_LO, K_HI):
+            f = make_chain(K)
+            t0 = time.time()
+            np.asarray(f(a, rk))
+            times[K].append(time.time() - t0)
+    dt = (min(times[K_HI]) - min(times[K_LO])) / (K_HI - K_LO)
     ops_per_sec = B / dt
-    log(f"batch={B}: {dt*1e3:.1f} ms/batch -> {ops_per_sec:.1f} mul+relin/s")
+    log(f"batch={B}: {dt*1e3:.1f} ms/batch -> {ops_per_sec:.1f} mul+relin/s "
+        "(distinct operands)")
 
     if profile_dir:
         jax.profiler.stop_trace()

@@ -103,8 +103,13 @@ def main():
     rk = jnp.asarray(pk.relin.data)
     B = 32 if quick else 128
     a = jnp.asarray(rand_ct_batch(ctx, B, rng))
-    dt = chain_time(lambda c: eng._mul_relin.__wrapped__(c, c, rk)[:, :2], a)
+    # distinct operands: a squaring chain lets XLA CSE the two operands'
+    # forward transforms and overstates general throughput by ~30%
+    dt = chain_time(lambda c: eng._mul_relin.__wrapped__(
+        c, jnp.roll(c, 1, axis=0), rk)[:, :2], a)
     emit("bfv_mul_relin_n4096_ops_per_sec", B / dt, "ops/s/chip", 1000.0)
+    dt = chain_time(lambda c: eng._mul_relin.__wrapped__(c, c, rk)[:, :2], a)
+    emit("bfv_mul_relin_square_n4096_ops_per_sec", B / dt, "ops/s/chip")
 
     ct3 = eng._multiply(a, a)
     jax.block_until_ready(ct3)
@@ -159,7 +164,8 @@ def main():
          B8 * enc8.slot_count / dt, "slot-ops/s/chip")
     rk8 = jnp.asarray(pk8.relin.data)
     dt = chain_time(
-        lambda c: eng8._mul_relin.__wrapped__(c, c, rk8)[:, :2], a8)
+        lambda c: eng8._mul_relin.__wrapped__(
+            c, jnp.roll(c, 1, axis=0), rk8)[:, :2], a8)
     emit("packed_mul_relin_n8192_slotops_per_sec",
          B8 * enc8.slot_count / dt, "slot-ops/s/chip")
     # correctness of the packed pipeline end-to-end
