@@ -136,7 +136,13 @@ class RequestStream:
 
         def make(op):
             def fused(pool, ia, ib, rk):
-                a = jnp.take(pool, ia, axis=0)          # (M, 2, k, n)
+                if op == "mul":
+                    # the pool is tiny and reused across the whole stream:
+                    # run the operand-independent BEHZ half (Bsk lift +
+                    # forward NTTs, ~1/3 of a multiply) once per pooled
+                    # ciphertext instead of once per request
+                    pool = eng._prepare.__wrapped__(pool)   # (P, 2, nb, n)
+                a = jnp.take(pool, ia, axis=0)
                 b = jnp.take(pool, ib, axis=0)
                 M = a.shape[0]
                 nc = M // CB
@@ -144,7 +150,11 @@ class RequestStream:
                 b = b.reshape((nc, CB) + b.shape[1:])
 
                 def body(_, ab):
-                    out = self._dispatch(op, ab[0], ab[1], rk)
+                    if op == "mul":
+                        out = eng._mul_relin_prepared.__wrapped__(
+                            ab[0], ab[1], rk)
+                    else:
+                        out = self._dispatch(op, ab[0], ab[1], rk)
                     return 0, out
                 _, outs = jax.lax.scan(body, 0, (a, b))
                 return outs.reshape((nc * CB,) + outs.shape[2:])

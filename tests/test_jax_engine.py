@@ -135,3 +135,16 @@ def test_mul_relin_bitexact_at_n8192_preset():
     want = ctx8.mul_relin(a, b, pk8.relin)
     got = eng8.mul_relin(a, b, pk8.relin)
     assert np.array_equal(got.data, want.data)
+
+
+def test_prepared_multiply_bitexact(ctx, eng, keys, cts):
+    """prepare + _mul_relin_prepared == direct mul_relin, bit-for-bit."""
+    import jax.numpy as jnp
+    pk, _ = keys
+    a, b = cts
+    direct = eng.mul_relin(a, b, pk.relin)
+    fa = eng._prepare(jnp.asarray(a.data)[None])
+    fb = eng._prepare(jnp.asarray(b.data)[None])
+    prepped = np.asarray(eng._mul_relin_prepared(
+        fa, fb, jnp.asarray(pk.relin.data)))[0]
+    assert np.array_equal(prepped, direct.data)
