@@ -172,7 +172,6 @@ class JaxEngine:
         gamma = params.gamma
         self.gamma = gamma
         t = params.t
-        self._dec_tg = [t, gamma]
         # |gamma*t|_{q_i} folded with q_hat_inv_i into one scalar per limb
         gt_qhinv = np.array(
             [(gamma * t % p) * g.q_hat_inv[i] % p
@@ -215,7 +214,6 @@ class JaxEngine:
         self.steps_msk_mod_q = max((g.m_sk - 1) // p for p in g.q_mods)
         self.steps_t_mod_q = max((params.t - 1) // p for p in g.q_mods)
 
-        self._jit_cache = {}
 
     # ==================================================================
     # elementwise ops
@@ -340,9 +338,9 @@ class JaxEngine:
         am = jnp.where(
             big,
             submod(jnp.uint64(0),
-                   barrett_reduce(jnp.uint64(msk) - a_b, self.q_mods,
-                                  self.mu_q), self.q_mods),
-            barrett_reduce(a_b, self.q_mods, self.mu_q))
+                   csub_reduce(jnp.uint64(msk) - a_b, self.q_mods,
+                               self.steps_msk_mod_q), self.q_mods),
+            csub_reduce(a_b, self.q_mods, self.steps_msk_mod_q))
         corr = mulmod_shoup(am, *self.prod_B_mod_q, self.q_mods)
         return submod(accq, corr, self.q_mods)
 
