@@ -134,11 +134,11 @@ class RequestStream:
         eng = self.engine
         CB = self.max_batch
 
-        def make(op):
+        def make(op, prepared=False):
             def fused(pool, ia, ib, rk):
-                if op == "mul":
-                    # the pool is tiny and reused across the whole stream:
-                    # run the operand-independent BEHZ half (Bsk lift +
+                if prepared:
+                    # pool ciphertexts are reused across the stream: run
+                    # the operand-independent BEHZ half (Bsk lift +
                     # forward NTTs, ~1/3 of a multiply) once per pooled
                     # ciphertext instead of once per request
                     pool = eng._prepare.__wrapped__(pool)   # (P, 2, nb, n)
@@ -150,7 +150,7 @@ class RequestStream:
                 b = b.reshape((nc, CB) + b.shape[1:])
 
                 def body(_, ab):
-                    if op == "mul":
+                    if prepared:
                         out = eng._mul_relin_prepared.__wrapped__(
                             ab[0], ab[1], rk)
                     else:
@@ -159,7 +159,8 @@ class RequestStream:
                 _, outs = jax.lax.scan(body, 0, (a, b))
                 return outs.reshape((nc * CB,) + outs.shape[2:])
             return jax.jit(fused, static_argnames=())
-        return {op: make(op) for op in ("add", "sub", "mul")}
+        return {"add": make("add"), "sub": make("sub"),
+                "mul": make("mul"), "mul_prepared": make("mul", True)}
 
     def run_pooled_fused(self, ops: Sequence[str], idx_pairs: np.ndarray,
                          ct_pool, pk: PublicKey):
@@ -181,8 +182,13 @@ class RequestStream:
             pad = (-M) % CB
             ia = np.array([idx_pairs[i][0] for i in idxs] + [0] * pad)
             ib = np.array([idx_pairs[i][1] for i in idxs] + [0] * pad)
-            outs = self._fused_ops[op](pool, jnp.asarray(ia),
-                                       jnp.asarray(ib), rk)
+            key = op
+            if op == "mul" and pool.shape[0] <= 2 * M:
+                # preparing pays off once each pooled ct is used ~once in
+                # multiplies; for huge pools with few requests, skip it
+                key = "mul_prepared"
+            outs = self._fused_ops[key](pool, jnp.asarray(ia),
+                                        jnp.asarray(ib), rk)
             out[op] = (idxs, outs[:M])
         jax.block_until_ready([v for _, v in out.values()])
         return out
