@@ -82,3 +82,21 @@ def test_key_roundtrip_semantically_exact_with_known_zstd_deviation():
             assert of[0] == nf[0]
         # loading our own emission yields an identical object again
         assert saver(loader(out)) == out
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir("/root/reference"),
+                    reason="reference repo not mounted")
+def test_fixture_keypair_roundtrip_and_pk_frame_byte_exact():
+    """Same guarantees against the independent fixture keypair."""
+    dec = zstandard.ZstdDecompressor()
+    pub = open("/root/reference/tests/data/public_key.bin", "rb").read()
+    pri = open("/root/reference/tests/data/private_key.bin", "rb").read()
+    out_pub = keyio.save_public_key(keyio.load_public_key(pub))
+    out_pri = keyio.save_private_key(keyio.load_private_key(pri))
+    for orig, ours in ((pub, out_pub), (pri, out_pri)):
+        of, nf = _frames(orig), _frames(ours)
+        assert len(of) == len(nf)
+        for a, b in zip(of, nf):
+            assert (dec.decompress(a, max_output_size=1 << 30)
+                    == dec.decompress(b, max_output_size=1 << 30))
+    assert _frames(pub)[0] == _frames(out_pub)[0]    # pk frame byte-exact
