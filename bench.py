@@ -20,6 +20,15 @@ def log(*a):
 
 
 def main():
+    import signal
+
+    def _watchdog(signum, frame):
+        log("FATAL: TPU unreachable/wedged (no progress in 600s); "
+            "see benchmarks/RESULTS.md for the last healthy-chip numbers")
+        raise SystemExit(2)
+
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(600)
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
