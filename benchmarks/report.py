@@ -267,6 +267,28 @@ def main():
         for r in results:
             f.write(f"| {r['metric']} | {r['value']:,} | {r['unit']} |\n")
         f.write(
+            "\n## Serving: prepared-operand pooling\n\n"
+            "Streams that reuse ciphertexts (the pooled 10k-request"
+            " benchmark, and any realistic serving mix) run the"
+            " operand-independent BEHZ half (Bsk lift + forward NTTs, ~1/3"
+            " of a multiply) once per pooled ciphertext"
+            " (JaxEngine._prepare / _mul_relin_prepared) instead of once"
+            " per request -- worth ~+55% on the mixed stream; outputs"
+            " bit-identical.\n"
+            "\n## Methodology notes\n\n"
+            "* The headline mul+relin metric uses DISTINCT operands"
+            " (mul_relin(c, roll(c,1))): a squaring chain lets XLA CSE the"
+            " two operands' forward transforms and reads ~45% higher (kept"
+            " as the separate _square_ row; round 1's 8,702 figure was"
+            " squaring-based).\n"
+            "* cpu_mesh_* rows run on virtual CPU devices sharing physical"
+            " cores: they validate the sharded program and multi-process"
+            " plumbing (the 2-process Gloo row vs the single-process dp8"
+            " row), NOT chip-scaling efficiency -- no pod hardware is"
+            " available, so the >=80% 2-host north star remains unmeasured"
+            " on real chips.\n"
+            "* Remote-tunnel measurement noise is +-10-15% run-to-run;"
+            " chain-slope timing is used throughout.\n"
             "\n## Roofline notes\n\n"
             "* The headline mul+relin rate times the XLA-counted scalar-op"
             " cost gives the achieved integer-op throughput above; against"
@@ -282,10 +304,7 @@ def main():
             " pallas_ntt_n4096_transforms_per_sec).\n"
             "* A radix-4 (two-stages-per-pass) NTT reformulation was"
             " bit-exact but performance-neutral: XLA rematerializes the"
-            " intermediate half-stage, so HBM traffic does not drop.\n"
-            "* Remote-tunnel measurement noise is +-10-15% run-to-run;"
-            " chain-slope timing with min-of-N repetitions is used"
-            " throughout.\n")
+            " intermediate half-stage, so HBM traffic does not drop.\n")
     log("wrote benchmarks/RESULTS.md")
 
 
