@@ -94,6 +94,26 @@ class JaxEngine:
             self._intt_all_tscaled = lambda x: intt(x, tb_all_t)
             self._ntt_key = lambda x: ntt(x, self.tb_key)
             self._intt_key = lambda x: intt(x, self.tb_key)
+        elif ntt_backend == "pair":
+            from .ntt_pair import build_pair_tables, intt_pair, ntt_pair
+            from .pair import from_pair, to_pair
+            tp_q = build_pair_tables(g.q_mods, n)
+            tp_all = build_pair_tables(g.q_mods + g.Bsk, n)
+            tp_all_t = build_pair_tables(
+                g.q_mods + g.Bsk, n,
+                n_inv_factors=[params.t] * self.nb)
+            tp_key = build_pair_tables(g.key_mods, n)
+            self.pair_tables = {"q": tp_q, "all": tp_all, "key": tp_key}
+
+            def wrap(fn, tb):
+                return lambda x: from_pair(fn(to_pair(x), tb))
+            self._ntt_q = wrap(ntt_pair, tp_q)
+            self._intt_q = wrap(intt_pair, tp_q)
+            self._ntt_all = wrap(ntt_pair, tp_all)
+            self._intt_all = wrap(intt_pair, tp_all)
+            self._intt_all_tscaled = wrap(intt_pair, tp_all_t)
+            self._ntt_key = wrap(ntt_pair, tp_key)
+            self._intt_key = wrap(intt_pair, tp_key)
         elif ntt_backend == "pallas":
             from .pallas_ntt import PallasNtt
             pq = PallasNtt(tuple(g.q_mods), n)

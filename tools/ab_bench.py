@@ -1,0 +1,211 @@
+"""Interleaved A/B benchmark: compare engine variants under identical
+chip-contention conditions (the shared dev tunnel varies 2-3x run-to-run,
+so only interleaved relative numbers are trustworthy).
+
+Usage: python tools/ab_bench.py [ntt] [mul] [trials=N]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def chain(step, x0, K):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(x):
+        def body(c, _):
+            return step(c), None
+        y, _ = jax.lax.scan(body, x, None, length=K)
+        return jnp.sum(jax.tree_util.tree_leaves(y)[0])
+    return f
+
+
+def slope(fns, trials):
+    """fns: dict name -> (f_lo, f_hi, k_lo, k_hi, x). Interleaved min-slope."""
+    times = {name: {"lo": [], "hi": []} for name in fns}
+    for name, (f_lo, f_hi, _, _, x) in fns.items():
+        np.asarray(f_lo(x))
+        np.asarray(f_hi(x))
+    for t in range(trials):
+        for name, (f_lo, f_hi, _, _, x) in fns.items():
+            t0 = time.time()
+            np.asarray(f_lo(x))
+            times[name]["lo"].append(time.time() - t0)
+            t0 = time.time()
+            np.asarray(f_hi(x))
+            times[name]["hi"].append(time.time() - t0)
+    out = {}
+    for name, (_, _, k_lo, k_hi, _) in fns.items():
+        dt = (min(times[name]["hi"]) - min(times[name]["lo"])) / (k_hi - k_lo)
+        out[name] = dt
+    return out
+
+
+def main():
+    args = sys.argv[1:]
+    trials = 6
+    for a in args:
+        if a.startswith("trials="):
+            trials = int(a.split("=")[1])
+    do_ntt = "ntt" in args or not any(a in ("ntt", "mul") for a in args)
+    do_mul = "mul" in args or not any(a in ("ntt", "mul") for a in args)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    import jax.numpy as jnp
+
+    from fhe_precompiles_tpu.bfv import BfvContext
+    from fhe_precompiles_tpu.ops.engine import JaxEngine
+    from fhe_precompiles_tpu.params import TESTNET_ONE
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+    rng = np.random.default_rng(0)
+    ctx = BfvContext(TESTNET_ONE)
+    n = ctx.n
+
+    if do_ntt:
+        from fhe_precompiles_tpu.ops.ntt import build_tables, intt, ntt
+        from fhe_precompiles_tpu.ops.ntt_pair import (build_pair_tables,
+                                                      intt_pair, ntt_pair)
+        from fhe_precompiles_tpu.ops.pair import from_pair, to_pair
+        mods = ctx.q_mods + ctx.Bsk
+        L = len(mods)
+        B = 128
+        tb = build_tables(mods, n)
+        tbp = build_pair_tables(mods, n)
+        x = np.stack([
+            np.stack([rng.integers(0, p, size=(n,), dtype=np.uint64)
+                      for p in mods]) for _ in range(B)])
+        xj = jnp.asarray(x)
+
+        def stage_step(c):
+            return intt(ntt(c, tb), tb)
+
+        def pair_step(c):
+            pr = to_pair(c)
+            return from_pair(intt_pair(ntt_pair(pr, tbp), tbp))
+
+        K_LO, K_HI = 2, 12
+        fns = {
+            "ntt_stage": (chain(stage_step, xj, K_LO),
+                          chain(stage_step, xj, K_HI), K_LO, K_HI, xj),
+            "ntt_pair": (chain(pair_step, xj, K_LO),
+                         chain(pair_step, xj, K_HI), K_LO, K_HI, xj),
+        }
+        res = slope(fns, trials)
+        # each chain step = 1 fwd + 1 inv over (B, L, n): 2*B*L transforms
+        for name, dt in res.items():
+            tps = 2 * B * L / dt
+            log(f"{name}: {dt*1e3:.2f} ms/step = {tps:,.0f} transforms/s")
+        log(f"pair/stage speedup: {res['ntt_stage']/res['ntt_pair']:.3f}x")
+
+    if do_mul:
+        engs = {"stage": JaxEngine(TESTNET_ONE, golden=ctx,
+                                   ntt_backend="stage"),
+                "pair": JaxEngine(TESTNET_ONE, golden=ctx,
+                                  ntt_backend="pair")}
+        pk, sk = ctx.generate_keys(seed=b"\x42" * 64)
+        rk = jnp.asarray(pk.relin.data)
+        B = 128
+        a = jnp.asarray(np.stack([
+            np.stack([rng.integers(0, p, size=(n,), dtype=np.uint64)
+                      for p in ctx.q_mods]) for _ in range(2 * B)
+        ]).reshape(B, 2, len(ctx.q_mods), n))
+        K_LO, K_HI = 4, 24
+        fns = {}
+        for name, eng in engs.items():
+            def mk(eng):
+                def step(c):
+                    return eng._mul_relin.__wrapped__(
+                        c, jnp.roll(c, 1, axis=0), rk)[:, :2]
+                return step
+            fns[f"mul_{name}"] = (chain(mk(eng), a, K_LO),
+                                  chain(mk(eng), a, K_HI), K_LO, K_HI, a)
+        res = slope(fns, trials)
+        for name, dt in res.items():
+            log(f"{name}: {dt*1e3:.2f} ms/batch = {B/dt:,.0f} mul+relin/s")
+        log(f"pair/stage speedup: {res['mul_stage']/res['mul_pair']:.3f}x")
+
+
+
+def calibrate():
+    """Roofline calibration: pure elementwise-shoup chain vs pure copy chain
+    on NTT-sized arrays -> achievable u32-op/s and HBM GB/s, and where the
+    stage NTT sits between them."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    import jax.numpy as jnp
+    from fhe_precompiles_tpu.bfv import BfvContext
+    from fhe_precompiles_tpu.ops.modmath import mulmod_shoup, shoup_precompute
+    from fhe_precompiles_tpu.ops import pair as pr
+    from fhe_precompiles_tpu.params import TESTNET_ONE
+
+    ctx = BfvContext(TESTNET_ONE)
+    n = ctx.n
+    mods = ctx.q_mods + ctx.Bsk
+    L, B = len(mods), 128
+    rng = np.random.default_rng(0)
+    x = np.stack([
+        np.stack([rng.integers(0, p, size=(n,), dtype=np.uint64)
+                  for p in mods]) for _ in range(B)])
+    p_arr = np.array(mods, dtype=np.uint64).reshape(L, 1)
+    w = (p_arr // np.uint64(3)).astype(np.uint64)
+    ws = shoup_precompute(w, p_arr)
+    xj = jnp.asarray(x)
+    nbytes = x.nbytes
+
+    # 12 dependent full-width shoup muls (u64) -- same mul count as 12
+    # half-width stages but no data movement
+    def shoup_chain_u64(c):
+        for _ in range(12):
+            c = mulmod_shoup(c, w, ws, p_arr)
+        return c
+
+    p_pair = pr.split64(p_arr)
+    w_pair = pr.split64(w)
+    ws_pair = pr.split64(ws)
+
+    def shoup_chain_pair(c):
+        t = pr.to_pair(c)
+        for _ in range(12):
+            t = pr.mulmod_shoup(t, w_pair, ws_pair, p_pair)
+        return pr.from_pair(t)
+
+    # pure memory: 12 dependent "touch everything" passes that XLA cannot
+    # fuse into one (roll forces a materialized permute each pass)
+    def copy_chain(c):
+        for _ in range(12):
+            c = jnp.roll(c, 1, axis=0) + jnp.uint64(1)
+        return c
+
+    K_LO, K_HI = 2, 12
+    fns = {
+        "shoup12_u64": (chain(shoup_chain_u64, xj, K_LO),
+                        chain(shoup_chain_u64, xj, K_HI), K_LO, K_HI, xj),
+        "shoup12_pair": (chain(shoup_chain_pair, xj, K_LO),
+                         chain(shoup_chain_pair, xj, K_HI), K_LO, K_HI, xj),
+        "roll12": (chain(copy_chain, xj, K_LO),
+                   chain(copy_chain, xj, K_HI), K_LO, K_HI, xj),
+    }
+    res = slope(fns, 6)
+    elems = B * L * n
+    for name, dt in res.items():
+        log(f"{name}: {dt*1e3:.3f} ms/step")
+    log(f"u64 shoup: {12*elems/res['shoup12_u64']/1e12:.3f} T-shoupmul/s")
+    log(f"pair shoup: {12*elems/res['shoup12_pair']/1e12:.3f} T-shoupmul/s")
+    log(f"roll12 bandwidth: {12*2*nbytes/res['roll12']/1e9:.0f} GB/s")
+
+
+if __name__ == "__main__":
+    calibrate() if "cal" in sys.argv else main()
