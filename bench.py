@@ -100,12 +100,21 @@ def main():
     times = {K: [] for K in (K_LO, K_HI)}
     for K in (K_LO, K_HI):
         np.asarray(make_chain(K)(a, rk))    # compile + sync
-    for _ in range(5):                      # min-of-5: tunnel noise is 10-15%
+    # The shared dev chip has multi-minute contention windows that depress
+    # throughput up to ~3x (measured 2026-08-17).  Sample several windows
+    # spread over ~4 min and keep the fastest observation per K: the
+    # best window reflects chip capability, the rest reflect neighbors.
+    deadline = time.time() + 240
+    rounds = 0
+    while rounds < 3 or (time.time() < deadline and rounds < 10):
         for K in (K_LO, K_HI):
             f = make_chain(K)
             t0 = time.time()
             np.asarray(f(a, rk))
             times[K].append(time.time() - t0)
+        rounds += 1
+        if time.time() < deadline - 30:
+            time.sleep(15)
     dt = (min(times[K_HI]) - min(times[K_LO])) / (K_HI - K_LO)
     if dt <= 0:
         # dispatch jitter swamped the slope; fall back to the whole-chain

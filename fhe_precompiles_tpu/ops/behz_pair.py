@@ -1,0 +1,258 @@
+"""BEHZ multiply + relinearization pipeline on u32-pair residues.
+
+Pair-arithmetic port of the hot half of ``ops/engine.py`` (the BEHZ
+multiply tail, Shenoy-Kumaresan conversion and SEAL-convention keyswitch
+-- reference capability: SEAL Evaluator, SURVEY.md section 2.2).  All
+elementwise modular work uses ``ops/pair.py`` primitives (~2x fewer native
+VPU ops than the XLA-emulated u64 versions) with lazy accumulation where
+the documented bounds allow:
+
+  * FastBconv limb contractions accumulate 3p-lazy Shoup products raw and
+    Barrett-reduce once per target (bounds: k terms * 3p < 2**41).
+  * The relin inner product accumulates 2p-lazy general products over the
+    decomposition digits, one Barrett per component.
+  * The m_tilde (2**16) row of the base extension never touches Barrett:
+    power-of-two modulus = low-word mask arithmetic.
+
+Constants are SPLIT from an existing ``JaxEngine`` instance (same derived
+values, zero duplicated math); bit-exactness vs the golden model is
+asserted by tests/test_jax_engine.py over the "pair" backend.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import pair as pr
+from .ntt_pair import PairNttTables, intt_pair, ntt_pair
+
+Pair = pr.Pair
+
+
+def _split_shoup(ws_tuple):
+    """Engine (w, ws) u64 host arrays -> ((w_lo,w_hi), (ws_lo,ws_hi))."""
+    w, ws = ws_tuple
+    return pr.split64(np.asarray(w)), pr.split64(np.asarray(ws))
+
+
+def _ix(a: Pair, sl) -> Pair:
+    return a[0][sl], a[1][sl]
+
+
+def _stack(parts, axis) -> Pair:
+    return (jnp.stack([x[0] for x in parts], axis=axis),
+            jnp.stack([x[1] for x in parts], axis=axis))
+
+
+def _concat(parts, axis) -> Pair:
+    return (jnp.concatenate([x[0] for x in parts], axis=axis),
+            jnp.concatenate([x[1] for x in parts], axis=axis))
+
+
+def _where(cond, a: Pair, b: Pair) -> Pair:
+    return jnp.where(cond, a[0], b[0]), jnp.where(cond, a[1], b[1])
+
+
+class PairBehz:
+    """Pair-form kernels sharing a JaxEngine's derived constants."""
+
+    def __init__(self, eng, tp_q: PairNttTables, tp_all: PairNttTables,
+                 tp_all_t: PairNttTables, tp_key: PairNttTables):
+        g = eng.golden
+        self.k, self.nB, self.nb = eng.k, eng.nB, eng.nb
+        self.k_key = eng.k_key
+        self.tp_q, self.tp_all, self.tp_all_t = tp_q, tp_all, tp_all_t
+        self.tp_key = tp_key
+
+        self.q_mods = pr.split64(np.asarray(eng.q_mods))      # (k, 1)
+        self.mu_q32 = pr.mu32(np.asarray(eng.q_mods))
+        self.c64_q = pr.split64(np.array(
+            [[(1 << 64) % int(p)] for p in g.q_mods], dtype=np.uint64))
+        self.bsk = pr.split64(np.asarray(eng.bsk))            # (nBsk, 1)
+        self.mu_bsk32 = pr.mu32(np.asarray(eng.bsk))
+        self.b_mods = pr.split64(np.asarray(eng.b_mods))      # (nB, 1)
+        self.key_mods = pr.split64(np.asarray(eng.key_mods))  # (k_key, 1)
+        self.mu_key32 = pr.mu32(np.asarray(eng.key_mods))
+        self.c64_key = pr.split64(np.array(
+            [[(1 << 64) % int(p)] for p in g.key_mods], dtype=np.uint64))
+
+        self.mt = int(eng.m_tilde)          # power of two
+        self.mt_mask = np.uint32(self.mt - 1)
+        self.neg_inv_q_mod_mt = np.uint32(eng.neg_inv_q_mod_mt)
+        self.msk = pr.split64(np.array([[g.m_sk]], dtype=np.uint64))
+        self.mu_msk32 = pr.mu32(np.array([[g.m_sk]], dtype=np.uint64))
+        self.msk_half_p1 = pr.split64(
+            np.array([[g.m_sk // 2 + 1]], dtype=np.uint64))
+
+        self.mt_mod_q = _split_shoup(eng.mt_mod_q)
+        self.q_hat_inv = _split_shoup(eng.q_hat_inv)
+        # q_hat_mod_x over Bsk+[mt]: split the Bsk rows / keep the mt row
+        # as plain u32 scalars for the mask path
+        qhm_w, qhm_ws = (np.asarray(x) for x in eng.q_hat_mod_x)
+        self.q_hat_mod_bsk = (pr.split64(qhm_w[:-1]), pr.split64(qhm_ws[:-1]))
+        self.q_hat_mod_mt = qhm_w[-1].astype(np.uint32)       # (k, 1) < 2**16
+        self.q_mod_bsk = _split_shoup(eng.q_mod_bsk)
+        self.inv_mt_mod_bsk = _split_shoup(eng.inv_mt_mod_bsk)
+        self.inv_q_mod_bsk = _split_shoup(eng.inv_q_mod_bsk)
+        self.b_hat_inv = _split_shoup(eng.b_hat_inv)
+        self.b_hat_mod_msk = _split_shoup(eng.b_hat_mod_msk)
+        self.inv_prod_B_mod_msk = _split_shoup(eng.inv_prod_B_mod_msk)
+        self.b_hat_mod_q = _split_shoup(eng.b_hat_mod_q)
+        self.prod_B_mod_q = _split_shoup(eng.prod_B_mod_q)
+
+        if eng.params.special_modulus is not None:
+            self.P = pr.split64(np.array([[eng.P]], dtype=np.uint64))
+            self.P_half = pr.split64(np.array([[eng.P >> 1]],
+                                              dtype=np.uint64))
+            self.half_mod_q = pr.split64(np.asarray(eng.half_mod_q))
+            self.inv_P_mod_q = _split_shoup(eng.inv_P_mod_q)
+            self.steps_P_mod_q = eng.steps_P_mod_q
+        self.steps_ct_mod_key = eng.steps_ct_mod_key
+        self.steps_msk_mod_q = eng.steps_msk_mod_q
+        self.steps_t_mod_q = eng.steps_t_mod_q
+
+    # ------------------------------------------------------------------
+    # base conversions
+    # ------------------------------------------------------------------
+    def _fastbconv(self, y: Pair, targets, target_mods: Pair, mu32,
+                   n_terms: int, extra_axis: bool = True) -> Pair:
+        """sum_i y_i * w[target, i] mod target, lazy-accumulated.
+
+        y: (..., k, n) pair, already scaled by q_hat_inv (canonical).
+        targets: ((nt, k, 1) w pair, ws pair); returns (..., nt, n).
+        """
+        w, ws = targets
+        yb = _ix(y, np.s_[..., None, :, :]) if extra_axis else y
+        tm = _ix(target_mods, np.s_[..., None, :]) if extra_axis \
+            else target_mods
+        terms = pr.mulmod_shoup(yb, w, ws, tm, lazy=True)     # each < 3p
+        acc = _ix(terms, np.s_[..., 0, :])
+        for i in range(1, n_terms):
+            acc = pr.add_pair(acc, _ix(terms, np.s_[..., i, :]))
+        # bound: n_terms * 3p < 2**(39 + log2(n_terms)) -- comfortably < 2**44
+        return pr.barrett(acc, mu32, target_mods, x_max_bits=44)
+
+    def to_bsk(self, poly_q: Pair) -> Pair:
+        """BEHZ steps 1-2 (engine._to_bsk): (..., k, n) -> (..., nBsk, n)."""
+        scaled = pr.mulmod_shoup(poly_q, *self.mt_mod_q, self.q_mods)
+        y = pr.mulmod_shoup(scaled, *self.q_hat_inv, self.q_mods)
+        c_bsk = self._fastbconv(y, self.q_hat_mod_bsk, self.bsk,
+                                self.mu_bsk32, self.k)
+        # m_tilde row: power-of-two modulus, low-word mask arithmetic
+        acc_mt = (y[0][..., 0, :] & self.mt_mask) * self.q_hat_mod_mt[0, 0]
+        for i in range(1, self.k):
+            acc_mt = acc_mt + (y[0][..., i, :] & self.mt_mask) \
+                * self.q_hat_mod_mt[i, 0]
+        c_mt = acc_mt & self.mt_mask
+        r = (c_mt * self.neg_inv_q_mod_mt) & self.mt_mask
+        big = r > np.uint32(self.mt // 2)
+        mt_minus_r = (np.uint32(self.mt) - r, jnp.zeros_like(r))
+        rm = _where(big[..., None, :],
+                    pr.sub_pair(self.bsk, _ix(mt_minus_r,
+                                              np.s_[..., None, :])),
+                    _ix((r, jnp.zeros_like(r)), np.s_[..., None, :]))
+        num = pr.addmod(c_bsk,
+                        pr.mulmod_shoup(rm, *self.q_mod_bsk, self.bsk),
+                        self.bsk)
+        return pr.mulmod_shoup(num, *self.inv_mt_mod_bsk, self.bsk)
+
+    def fastbconv_sk(self, poly_bsk: Pair) -> Pair:
+        """Shenoy-Kumaresan exact Bsk -> q (engine._fastbconv_sk)."""
+        nB = self.nB
+        xB = _ix(poly_bsk, np.s_[..., :nB, :])
+        x_msk = _ix(poly_bsk, np.s_[..., nB, :])
+        y = pr.mulmod_shoup(xB, *self.b_hat_inv, self.b_mods)
+        # alpha via m_sk (scalar modulus; no extra target axis)
+        w, ws = self.b_hat_mod_msk
+        terms = pr.mulmod_shoup(y, w, ws, self.msk, lazy=True)
+        acc = _ix(terms, np.s_[..., 0, :])
+        for i in range(1, nB):
+            acc = pr.add_pair(acc, _ix(terms, np.s_[..., i, :]))
+        acc = pr.barrett(acc, self.mu_msk32[0, 0],
+                         (self.msk[0][0, 0], self.msk[1][0, 0]),
+                         x_max_bits=44)
+        alpha = pr.mulmod_shoup(
+            pr.submod(acc, x_msk, (self.msk[0][0, 0], self.msk[1][0, 0])),
+            (self.inv_prod_B_mod_msk[0][0][0, 0],
+             self.inv_prod_B_mod_msk[0][1][0, 0]),
+            (self.inv_prod_B_mod_msk[1][0][0, 0],
+             self.inv_prod_B_mod_msk[1][1][0, 0]),
+            (self.msk[0][0, 0], self.msk[1][0, 0]))
+        accq = self._fastbconv(y, self.b_hat_mod_q, self.q_mods,
+                               self.mu_q32, nB)
+        a_b = _ix(alpha, np.s_[..., None, :])
+        big = pr.ge_pair(a_b, (self.msk_half_p1[0][0, 0],
+                               self.msk_half_p1[1][0, 0]))
+        neg_part = pr.negmod(
+            pr.csub_reduce(pr.sub_pair((self.msk[0][0, 0],
+                                        self.msk[1][0, 0]), a_b),
+                           self.q_mods, self.steps_msk_mod_q),
+            self.q_mods)
+        pos_part = pr.csub_reduce(a_b, self.q_mods, self.steps_msk_mod_q)
+        am = _where(big, neg_part, pos_part)
+        corr = pr.mulmod_shoup(am, *self.prod_B_mod_q, self.q_mods)
+        return pr.submod(accq, corr, self.q_mods)
+
+    # ------------------------------------------------------------------
+    # multiply pipeline
+    # ------------------------------------------------------------------
+    def prepare(self, a: Pair) -> Pair:
+        """(B, 2, k, n) ct -> (B, 2, nb, n) NTT-domain extended operand."""
+        ea = _concat([a, self.to_bsk(a)], axis=-2)
+        return ntt_pair(ea, self.tp_all)
+
+    def mul_core(self, fa: Pair, fb: Pair) -> Pair:
+        """Prepared x prepared -> (B, 3, k, n) scaled tensor (BEHZ tail)."""
+        k = self.k
+        tp = self.tp_all
+        pa, mua, c64a = tp.p, tp.mu, tp.c64
+        fa0, fa1 = _ix(fa, np.s_[:, 0]), _ix(fa, np.s_[:, 1])
+        fb0, fb1 = _ix(fb, np.s_[:, 0]), _ix(fb, np.s_[:, 1])
+        # Karatsuba over the 2x2 tensor: 3 general modmuls instead of 4
+        t0 = pr.mulmod(fa0, fb0, pa, mua, c64a)
+        t2 = pr.mulmod(fa1, fb1, pa, mua, c64a)
+        cross = pr.mulmod(pr.addmod(fa0, fa1, pa), pr.addmod(fb0, fb1, pa),
+                          pa, mua, c64a)
+        t1 = pr.submod(pr.submod(cross, t0, pa), t2, pa)
+        stacked = _stack([t0, t1, t2], axis=1)
+        tq = intt_pair(stacked, self.tp_all_t)     # t-scale folded in n^-1
+        y = pr.mulmod_shoup(_ix(tq, np.s_[..., :k, :]), *self.q_hat_inv,
+                            self.q_mods)
+        conv = self._fastbconv(y, self.q_hat_mod_bsk, self.bsk,
+                               self.mu_bsk32, k)
+        num = pr.submod(_ix(tq, np.s_[..., k:, :]), conv, self.bsk)
+        floor_bsk = pr.mulmod_shoup(num, *self.inv_q_mod_bsk, self.bsk)
+        return self.fastbconv_sk(floor_bsk)
+
+    def relinearize(self, ct3: Pair, rk: Pair) -> Pair:
+        """(B, 3, k, n) + rk (k, 2, k_key, n) -> (B, 2, k, n)."""
+        k, k_key = self.k, self.k_key
+        c2 = _ix(ct3, np.s_[:, 2])
+        d = pr.csub_reduce(_ix(c2, np.s_[:, :, None, :]), self.key_mods,
+                           self.steps_ct_mod_key)
+        d_ntt = ntt_pair(d, self.tp_key)
+        tpk = self.tp_key
+        accs = []
+        for comp in range(2):
+            acc = pr.mulmod(_ix(d_ntt, np.s_[:, 0]),
+                            _ix(rk, np.s_[0, comp]),
+                            tpk.p, tpk.mu, tpk.c64, lazy=True)
+            for j in range(1, k):
+                acc = pr.add_pair(acc, pr.mulmod(
+                    _ix(d_ntt, np.s_[:, j]), _ix(rk, np.s_[j, comp]),
+                    tpk.p, tpk.mu, tpk.c64, lazy=True))
+            # k lazy 2p-products: sum < 2*k*p < 2**44
+            accs.append(pr.barrett(acc, tpk.mu, tpk.p, x_max_bits=44))
+        acc = intt_pair(_stack(accs, axis=1), self.tp_key)
+        # divide by the special prime with rounding
+        xP = _ix(acc, np.s_[..., k_key - 1, :])
+        P_scalar = (self.P[0][0, 0], self.P[1][0, 0])
+        xP_half = pr.addmod(xP, (self.P_half[0][0, 0], self.P_half[1][0, 0]),
+                            P_scalar)
+        corr = pr.submod(
+            pr.csub_reduce(_ix(xP_half, np.s_[..., None, :]), self.q_mods,
+                           self.steps_P_mod_q),
+            self.half_mod_q, self.q_mods)
+        ti = pr.submod(_ix(acc, np.s_[..., :k, :]), corr, self.q_mods)
+        res = pr.mulmod_shoup(ti, *self.inv_P_mod_q, self.q_mods)
+        return pr.addmod(_ix(ct3, np.s_[:, :2]), res, self.q_mods)

@@ -54,20 +54,23 @@ class JaxEngine:
 
     def __init__(self, params: Params, golden: Optional[BfvContext] = None,
                  ntt_backend: str = "auto"):
-        """ntt_backend: "auto" (platform-based selection), "stage" (fused
-        XLA butterfly stages) or "pallas" (fused MXU four-step kernels;
-        TPU-only, bit-identical).
+        """ntt_backend: "auto" (platform-based selection), "pair" (u32-pair
+        arithmetic end-to-end: pair stage NTT + pair BEHZ/relin kernels,
+        ops/{pair,ntt_pair,behz_pair}.py), "stage" (u64 fused XLA butterfly
+        stages) or "pallas" (fused MXU four-step kernels; TPU-only).  All
+        backends are bit-identical.
 
-        "auto" resolves to "stage" everywhere today: on v5e the measured
-        stage rate (~0.65-1.0M transforms/s at n=4096 depending on stack
-        width) is at or above the Pallas fused kernel (~0.6M) because the
-        37-bit digit decomposition the MXU formulation needs inflates VPU
-        work more than the matmuls save (benchmarks/RESULTS.md roofline
-        notes); Pallas is unavailable off-TPU.  Revisit if a cheaper digit
-        scheme or larger n changes the balance.
+        "auto" resolves per platform: "pair" on TPU (no native u64 there --
+        the hand-specialized p<2**37 pair arithmetic beats XLA's generic
+        u64 emulation by ~1.2x end-to-end, measured interleaved on v5e),
+        "stage" elsewhere (CPU has real u64 registers, emulating them in
+        u32 pairs would be a loss).  The Pallas/MXU formulation stays a
+        measured negative result (benchmarks/RESULTS.md roofline notes).
         """
         if ntt_backend == "auto":
-            ntt_backend = "stage"
+            import jax as _jax
+            ntt_backend = ("pair" if _jax.default_backend() == "tpu"
+                           else "stage")
         self.params = params
         g = golden if golden is not None else BfvContext(params)
         self.golden = g
@@ -103,7 +106,8 @@ class JaxEngine:
                 g.q_mods + g.Bsk, n,
                 n_inv_factors=[params.t] * self.nb)
             tp_key = build_pair_tables(g.key_mods, n)
-            self.pair_tables = {"q": tp_q, "all": tp_all, "key": tp_key}
+            self.pair_tables = {"q": tp_q, "all": tp_all, "key": tp_key,
+                                "all_t": tp_all_t}
 
             def wrap(fn, tb):
                 return lambda x: from_pair(fn(to_pair(x), tb))
@@ -234,6 +238,16 @@ class JaxEngine:
         self.steps_msk_mod_q = max((g.m_sk - 1) // p for p in g.q_mods)
         self.steps_t_mod_q = max((params.t - 1) // p for p in g.q_mods)
 
+
+    @functools.cached_property
+    def _pairk(self):
+        """Pair-form BEHZ kernels (ops/behz_pair.py); None off the pair
+        backend.  Built lazily so all derived constants above exist."""
+        if self.ntt_backend != "pair":
+            return None
+        from .behz_pair import PairBehz
+        t = self.pair_tables
+        return PairBehz(self, t["q"], t["all"], t["all_t"], t["key"])
 
     # ==================================================================
     # elementwise ops
@@ -366,6 +380,14 @@ class JaxEngine:
 
     @functools.cached_property
     def _prepare(self):
+        if self._pairk is not None:
+            from .pair import from_pair, to_pair
+            pb = self._pairk
+
+            def fp(a):
+                return from_pair(pb.prepare(to_pair(a)))
+            return jax.jit(fp)
+
         def f(a):
             """(B, 2, k, n) ct -> (B, 2, nb, n) NTT-domain extended operand.
 
@@ -404,12 +426,31 @@ class JaxEngine:
 
     @functools.cached_property
     def _mul_relin_prepared(self):
+        if self._pairk is not None:
+            from .pair import from_pair, to_pair
+            pb = self._pairk
+
+            def fp(fa, fb, rk):
+                out = pb.relinearize(pb.mul_core(to_pair(fa), to_pair(fb)),
+                                     to_pair(rk))
+                return from_pair(out)
+            return jax.jit(fp)
+
         def f(fa, fb, rk):
             return self._relinearize.__wrapped__(self._mul_core(fa, fb), rk)
         return jax.jit(f)
 
     @functools.cached_property
     def _multiply(self):
+        if self._pairk is not None:
+            from .pair import from_pair, to_pair
+            pb = self._pairk
+
+            def fp(a, b):
+                return from_pair(pb.mul_core(pb.prepare(to_pair(a)),
+                                             pb.prepare(to_pair(b))))
+            return jax.jit(fp)
+
         def f(a, b):
             """(B, 2, k, n) x (B, 2, k, n) -> (B, 3, k, n) BEHZ tensor+scale."""
             return self._mul_core(self._prepare.__wrapped__(a),
@@ -421,6 +462,14 @@ class JaxEngine:
     # ==================================================================
     @functools.cached_property
     def _relinearize(self):
+        if self._pairk is not None:
+            from .pair import from_pair, to_pair
+            pb = self._pairk
+
+            def fp(ct3, rk):
+                return from_pair(pb.relinearize(to_pair(ct3), to_pair(rk)))
+            return jax.jit(fp)
+
         def f(ct3, rk):
             """(B, 3, k, n) + rk (k, 2, k_key, n) -> (B, 2, k, n)."""
             c2 = ct3[:, 2]                                       # (B, k, n)
@@ -450,6 +499,16 @@ class JaxEngine:
 
     @functools.cached_property
     def _mul_relin(self):
+        if self._pairk is not None:
+            from .pair import from_pair, to_pair
+            pb = self._pairk
+
+            def fp(a, b, rk):
+                ct3 = pb.mul_core(pb.prepare(to_pair(a)),
+                                  pb.prepare(to_pair(b)))
+                return from_pair(pb.relinearize(ct3, to_pair(rk)))
+            return jax.jit(fp)
+
         def f(a, b, rk):
             return self._relinearize.__wrapped__(
                 self._multiply.__wrapped__(a, b), rk)

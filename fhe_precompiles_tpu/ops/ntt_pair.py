@@ -28,6 +28,7 @@ class PairNttTables:
 
     n: int
     p: tuple                    # pair of (L, 1) uint32
+    p2: tuple                   # pair of (L, 1): 2*p (Harvey lazy bound)
     mu: np.ndarray              # (L, 1) uint32 single-word Barrett constants
     c64: tuple                  # pair of (L, 1): 2**64 mod p
     root: tuple                 # pair of (L, n) forward twiddles (bit-rev)
@@ -57,6 +58,7 @@ def build_pair_tables(moduli: Sequence[int], n: int,
     return PairNttTables(
         n=n,
         p=pr.split64(p_arr),
+        p2=pr.split64(p_arr * np.uint64(2)),
         mu=pr.mu32(p_arr),
         c64=pr.split64(c64),
         root=pr.split64(root),
@@ -75,21 +77,37 @@ def _tw(tab: tuple, L: int, m: int):
 
 
 def ntt_pair(a: pr.Pair, tb: PairNttTables) -> pr.Pair:
-    """Forward NTT over pair arrays shaped (..., L, n); natural -> bit-rev."""
+    """Forward NTT over pair arrays shaped (..., L, n); natural -> bit-rev.
+
+    Harvey lazy butterflies (SEAL's discipline): values stay < 4p between
+    stages; each butterfly does ONE conditional subtract (by 2p) and an
+    exact-q Shoup product < 2p with no trailing subtracts:
+        u  = lo - (lo >= 2p ? 2p : 0)            [< 2p]
+        t  = shoup_exact_lazy(hi, w)             [< 2p]
+        lo' = u + t ; hi' = u + 2p - t           [< 4p]
+    The last stage folds the final canonical reduction in, so the output
+    is bit-identical to the strict transform (ops/ntt.py).
+    """
     n = tb.n
     lead = a[0].shape[:-2]
     L = a[0].shape[-2]
     pp = (tb.p[0].reshape((L, 1, 1)), tb.p[1].reshape((L, 1, 1)))
+    pp2 = (tb.p2[0].reshape((L, 1, 1)), tb.p2[1].reshape((L, 1, 1)))
     m, t = 1, n
     while m < n:
         t //= 2
+        last = (2 * m == n)
         v = tuple(x.reshape(lead + (L, m, 2, t)) for x in a)
         w = _tw(tb.root, L, m)
         ws = _tw(tb.root_shoup, L, m)
-        lo = (v[0][..., 0, :], v[1][..., 0, :])
-        hi = pr.mulmod_shoup((v[0][..., 1, :], v[1][..., 1, :]), w, ws, pp)
-        s = pr.addmod(lo, hi, pp)
-        d = pr.submod(lo, hi, pp)
+        u = pr._csub((v[0][..., 0, :], v[1][..., 0, :]), pp2)
+        tt = pr.mulmod_shoup((v[0][..., 1, :], v[1][..., 1, :]), w, ws, pp,
+                             lazy=True, exact_q=True)
+        s = pr.add_pair(u, tt)
+        d = pr.sub_pair(pr.add_pair(u, pp2), tt)
+        if last:   # canonicalize inline: values < 4p -> < p
+            s = pr._csub(pr._csub(s, pp2), pp)
+            d = pr._csub(pr._csub(d, pp2), pp)
         a = tuple(jnp.stack(x, axis=-2).reshape(lead + (L, n))
                   for x in zip(s, d))
         m *= 2
@@ -97,11 +115,19 @@ def ntt_pair(a: pr.Pair, tb: PairNttTables) -> pr.Pair:
 
 
 def intt_pair(a: pr.Pair, tb: PairNttTables) -> pr.Pair:
-    """Inverse NTT over pair arrays shaped (..., L, n); bit-rev -> natural."""
+    """Inverse NTT over pair arrays shaped (..., L, n); bit-rev -> natural.
+
+    Harvey lazy inverse: values stay < 2p between stages
+        s = lo + hi - (>= 2p ? 2p : 0)           [< 2p]
+        d = shoup_exact_lazy(lo + 2p - hi, w)    [< 2p]
+    and the final n^-1 twiddle multiply canonicalizes (exact-q, one
+    subtract).  Bit-identical to the strict transform.
+    """
     n = tb.n
     lead = a[0].shape[:-2]
     L = a[0].shape[-2]
     pp = (tb.p[0].reshape((L, 1, 1)), tb.p[1].reshape((L, 1, 1)))
+    pp2 = (tb.p2[0].reshape((L, 1, 1)), tb.p2[1].reshape((L, 1, 1)))
     m, t = n // 2, 1
     while m >= 1:
         v = tuple(x.reshape(lead + (L, m, 2, t)) for x in a)
@@ -109,13 +135,14 @@ def intt_pair(a: pr.Pair, tb: PairNttTables) -> pr.Pair:
         ws = _tw(tb.inv_root_shoup, L, m)
         lo = (v[0][..., 0, :], v[1][..., 0, :])
         hi = (v[0][..., 1, :], v[1][..., 1, :])
-        s = pr.addmod(lo, hi, pp)
-        d = pr.mulmod_shoup(pr.submod(lo, hi, pp), w, ws, pp)
+        s = pr._csub(pr.add_pair(lo, hi), pp2)
+        d = pr.mulmod_shoup(pr.sub_pair(pr.add_pair(lo, pp2), hi), w, ws, pp,
+                            lazy=True, exact_q=True)
         a = tuple(jnp.stack(x, axis=-2).reshape(lead + (L, n))
                   for x in zip(s, d))
         t *= 2
         m //= 2
-    return pr.mulmod_shoup(a, tb.n_inv, tb.n_inv_shoup, tb.p)
+    return pr.mulmod_shoup(a, tb.n_inv, tb.n_inv_shoup, tb.p, exact_q=True)
 
 
 def pointwise_mulmod_pair(a: pr.Pair, b: pr.Pair,

@@ -163,34 +163,42 @@ def negmod(a: Pair, p: Pair) -> Pair:
 
 
 def mulmod_shoup(a: Pair, w: Pair, ws: Pair, p: Pair, *,
-                 lazy: bool = False) -> Pair:
+                 lazy: bool = False, exact_q: bool = False) -> Pair:
     """(a*w) mod p; ws = floor(w * 2**64 / p) as a full 64-bit pair.
 
-    a, w < p < 2**37.  20 native multiplies (the XLA-emulated u64 version
-    costs ~6 generic 64-bit multiplies, i.e. 2-3x the native ops).
+    w < p < 2**37; a < 2**39 (need not be canonical -- FastBconv feeds
+    residues of a different base, lazy NTT butterflies feed < 4p values).
+    20 native multiplies (the XLA-emulated u64 version costs ~6 generic
+    64-bit multiplies, i.e. 2-3x the native ops).
 
-    q is UNDERESTIMATED by <= 1 (we drop hi32(a0*ws0), the cheapest-to-
-    lose term) so the remainder lands in [0, 3p); two conditional
-    subtracts finish (or none with ``lazy=True`` -- result < 3p < 2**39,
-    for callers that accumulate before reducing).
+    By default q is UNDERESTIMATED by <= 1 (we drop hi32(a0*ws0), the
+    cheapest-to-lose term) so the remainder lands in [0, 3p); two
+    conditional subtracts finish, or none with ``lazy=True``.
+    ``exact_q=True`` spends 4 more multiplies on the dropped term so the
+    remainder lands in [0, 2p) -- the Harvey-butterfly contract
+    (lazy -> < 2p with no subtracts, else one subtract to canonical).
     """
     a0, a1 = a
     w0, w1 = w
     s0, s1 = ws
-    # ---- q = floor(a * ws / 2**64), modulo the dropped h00 term -------
+    # ---- q = floor(a * ws / 2**64) ------------------------------------
     ma = _mul_full(a0, s1)             # a0 * ws1            (4 mul)
-    mb = _mul_small(s0, a1)            # a1 * ws0, a1 < 2**5 (2 mul)
+    mb = _mul_small(s0, a1)            # a1 * ws0, a1 < 2**7 (2 mul)
     t1 = ma[0] + mb[0]
     c1 = (t1 < mb[0]).astype(jnp.uint32)
     u1 = ma[1] + mb[1]
     d1 = (u1 < mb[1]).astype(jnp.uint32)
+    if exact_q:
+        h = _umulhi32(a0, s0)          # the otherwise-dropped term (4 mul)
+        t2 = t1 + h
+        c1 = c1 + (t2 < h).astype(jnp.uint32)
     u2 = u1 + c1
     d2 = (u2 < u1).astype(jnp.uint32)
-    shi, scarry = u2, d1 + d2          # floor((ma+mb)/2**32) = shi + 2**32*sc
+    shi, scarry = u2, d1 + d2          # floor(S/2**32) = shi + 2**32*sc
     qa = _mul_small(s1, a1)            # a1 * ws1            (2 mul)
     q0 = qa[0] + shi
     cq = (q0 < shi).astype(jnp.uint32)
-    q1 = qa[1] + cq + scarry           # q < 2**38
+    q1 = qa[1] + cq + scarry           # q < 2**39
     # ---- r = a*w - q*p  (exact on pairs: true r < 3p < 2**39) ---------
     aw = _mul_full(a0, w0)             # (4 mul)
     aw_hi = aw[1] + a0 * w1 + a1 * w0  # wrapping mid terms  (2 mul)
@@ -199,6 +207,8 @@ def mulmod_shoup(a: Pair, w: Pair, ws: Pair, p: Pair, *,
     r_lo = aw[0] - qp[0]
     br = (aw[0] < qp[0]).astype(jnp.uint32)
     r = (r_lo, aw_hi - qp_hi - br)
+    if exact_q:
+        return r if lazy else _csub(r, p)
     if lazy:
         return r
     return _csub(_csub(r, p), p)

@@ -17,9 +17,11 @@ def ctx():
     return BfvContext(TESTNET_ONE)
 
 
-@pytest.fixture(scope="module")
-def eng(ctx):
-    return JaxEngine(TESTNET_ONE, golden=ctx)
+@pytest.fixture(scope="module", params=["stage", "pair"])
+def eng(ctx, request):
+    """Every bit-exactness assertion runs under both the u64 stage backend
+    (CPU default) and the u32-pair backend (TPU default)."""
+    return JaxEngine(TESTNET_ONE, golden=ctx, ntt_backend=request.param)
 
 
 @pytest.fixture(scope="module")

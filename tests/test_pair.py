@@ -192,3 +192,19 @@ def test_pair_csub_reduce(p):
     x[:2] = [(steps + 1) * p - 1, 0]
     got = _join(pr.csub_reduce(_pairify(x), _pairify(np.uint64(p)), steps))
     assert (got.astype(object) == x.astype(object) % p).all()
+
+
+@pytest.mark.parametrize("p", MODULI)
+def test_pair_mulmod_shoup_exact_q_harvey_contract(p):
+    """exact_q: canonical result for a < 4p, and lazy bound < 2p."""
+    N = 2048
+    a = RNG.integers(0, 4 * p, size=N, dtype=np.uint64)
+    a[:4] = [4 * p - 1, 2 * p, p, 0]
+    w = _draw_mod(p, N)
+    ws = shoup_precompute(w, np.uint64(p))
+    args = (_pairify(a), _pairify(w), _pairify(ws), _pairify(np.uint64(p)))
+    got = _join(pr.mulmod_shoup(*args, exact_q=True))
+    ref = (a.astype(object) * w.astype(object)) % p
+    assert (got.astype(object) == ref).all()
+    v = _join(pr.mulmod_shoup(*args, exact_q=True, lazy=True)).astype(object)
+    assert ((v - ref) % p == 0).all() and (v < 2 * p).all()
