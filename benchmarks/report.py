@@ -126,6 +126,13 @@ def main():
     dt = chain_time(lambda v: sntt(v, tbq), x, 8, 48)
     emit("ntt_n4096_transforms_per_sec", B * 2 * len(ctx.q_mods) / dt,
          "transforms/s/chip")
+    from fhe_precompiles_tpu.ops.ntt_pair import (build_pair_tables,
+                                                  ntt_pair)
+    from fhe_precompiles_tpu.ops.pair import from_pair, to_pair
+    tbp = build_pair_tables(ctx.q_mods, ctx.n)
+    dt = chain_time(lambda v: from_pair(ntt_pair(to_pair(v), tbp)), x, 8, 48)
+    emit("pair_ntt_n4096_transforms_per_sec",
+         B * 2 * len(ctx.q_mods) / dt, "transforms/s/chip")
     from fhe_precompiles_tpu.ops.pallas_ntt import PallasNtt
     pn = PallasNtt(tuple(ctx.q_mods), ctx.n, C=64, tb=8)
     dt = chain_time(pn.ntt, x, 8, 48)

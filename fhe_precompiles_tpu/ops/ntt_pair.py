@@ -76,7 +76,20 @@ def _tw(tab: tuple, L: int, m: int):
             tab[1][:, m:2 * m].reshape((L, m, 1)))
 
 
-def ntt_pair(a: pr.Pair, tb: PairNttTables) -> pr.Pair:
+def _tw_strided(tab: tuple, L: int, m: int, step_log2: int, sub: int):
+    """Twiddles for fused-chunk level: root[(m<<l) + (g<<l) + sub] over
+    g in [0, m), shaped (L, m, 1).  Host numpy slicing (tables are numpy),
+    so XLA embeds each chunk's twiddles as constants."""
+    idx = (m << step_log2) + (np.arange(m) << step_log2) + sub
+    return (tab[0][:, idx].reshape((L, m, 1)),
+            tab[1][:, idx].reshape((L, m, 1)))
+
+
+RADIX_LOG2 = 2   # stages fused per HBM pass (radix-4); measured best on v5e
+
+
+def ntt_pair(a: pr.Pair, tb: PairNttTables,
+             radix_log2: int = RADIX_LOG2) -> pr.Pair:
     """Forward NTT over pair arrays shaped (..., L, n); natural -> bit-rev.
 
     Harvey lazy butterflies (SEAL's discipline): values stay < 4p between
@@ -85,63 +98,93 @@ def ntt_pair(a: pr.Pair, tb: PairNttTables) -> pr.Pair:
         u  = lo - (lo >= 2p ? 2p : 0)            [< 2p]
         t  = shoup_exact_lazy(hi, w)             [< 2p]
         lo' = u + t ; hi' = u + 2p - t           [< 4p]
-    The last stage folds the final canonical reduction in, so the output
-    is bit-identical to the strict transform (ops/ntt.py).
+    ``radix_log2`` consecutive stages are written as ONE elementwise
+    expression over 2**R strided slices -- no intermediate stack/reshape,
+    so XLA fuses the chunk into a single HBM pass (the per-stage
+    materialization was ~1/3 of stage cost; the radix-4 attempt on the
+    u64 path failed exactly because its two sub-stages were sequential
+    ops XLA rematerialized between).  The last chunk folds the canonical
+    reduction in; output is bit-identical to the strict transform.
     """
     n = tb.n
     lead = a[0].shape[:-2]
     L = a[0].shape[-2]
     pp = (tb.p[0].reshape((L, 1, 1)), tb.p[1].reshape((L, 1, 1)))
     pp2 = (tb.p2[0].reshape((L, 1, 1)), tb.p2[1].reshape((L, 1, 1)))
-    m, t = 1, n
-    while m < n:
-        t //= 2
-        last = (2 * m == n)
-        v = tuple(x.reshape(lead + (L, m, 2, t)) for x in a)
-        w = _tw(tb.root, L, m)
-        ws = _tw(tb.root_shoup, L, m)
-        u = pr._csub((v[0][..., 0, :], v[1][..., 0, :]), pp2)
-        tt = pr.mulmod_shoup((v[0][..., 1, :], v[1][..., 1, :]), w, ws, pp,
-                             lazy=True, exact_q=True)
-        s = pr.add_pair(u, tt)
-        d = pr.sub_pair(pr.add_pair(u, pp2), tt)
-        if last:   # canonicalize inline: values < 4p -> < p
-            s = pr._csub(pr._csub(s, pp2), pp)
-            d = pr._csub(pr._csub(d, pp2), pp)
-        a = tuple(jnp.stack(x, axis=-2).reshape(lead + (L, n))
-                  for x in zip(s, d))
-        m *= 2
+    nstage = int(np.log2(n))
+    s_done, m, t = 0, 1, n
+    while s_done < nstage:
+        R = min(radix_log2, nstage - s_done)
+        nbl = 1 << R
+        t //= nbl
+        v = tuple(x.reshape(lead + (L, m, nbl, t)) for x in a)
+        blocks = [(v[0][..., i, :], v[1][..., i, :]) for i in range(nbl)]
+        for lv in range(R):
+            d = 1 << (R - 1 - lv)
+            for i in range(nbl):
+                if i & d:
+                    continue
+                sub = i >> (R - lv)          # high lv bits of the index
+                w = _tw_strided(tb.root, L, m, lv, sub)
+                ws = _tw_strided(tb.root_shoup, L, m, lv, sub)
+                u = pr._csub(blocks[i], pp2)
+                tt = pr.mulmod_shoup(blocks[i + d], w, ws, pp,
+                                     lazy=True, exact_q=True)
+                blocks[i] = pr.add_pair(u, tt)
+                blocks[i + d] = pr.sub_pair(pr.add_pair(u, pp2), tt)
+        s_done += R
+        m <<= R
+        if s_done == nstage:   # canonicalize inline: values < 4p -> < p
+            blocks = [pr._csub(pr._csub(b, pp2), pp) for b in blocks]
+        a = tuple(jnp.stack([b[pl] for b in blocks], axis=-2
+                            ).reshape(lead + (L, n)) for pl in range(2))
     return a
 
 
-def intt_pair(a: pr.Pair, tb: PairNttTables) -> pr.Pair:
+def intt_pair(a: pr.Pair, tb: PairNttTables,
+              radix_log2: int = RADIX_LOG2) -> pr.Pair:
     """Inverse NTT over pair arrays shaped (..., L, n); bit-rev -> natural.
 
-    Harvey lazy inverse: values stay < 2p between stages
+    Harvey lazy inverse (values stay < 2p between stages):
         s = lo + hi - (>= 2p ? 2p : 0)           [< 2p]
         d = shoup_exact_lazy(lo + 2p - hi, w)    [< 2p]
-    and the final n^-1 twiddle multiply canonicalizes (exact-q, one
-    subtract).  Bit-identical to the strict transform.
+    with the same single-HBM-pass chunking as :func:`ntt_pair`; the final
+    n^-1 twiddle multiply canonicalizes.  Bit-identical to the strict
+    transform.
     """
     n = tb.n
     lead = a[0].shape[:-2]
     L = a[0].shape[-2]
     pp = (tb.p[0].reshape((L, 1, 1)), tb.p[1].reshape((L, 1, 1)))
     pp2 = (tb.p2[0].reshape((L, 1, 1)), tb.p2[1].reshape((L, 1, 1)))
-    m, t = n // 2, 1
-    while m >= 1:
-        v = tuple(x.reshape(lead + (L, m, 2, t)) for x in a)
-        w = _tw(tb.inv_root, L, m)
-        ws = _tw(tb.inv_root_shoup, L, m)
-        lo = (v[0][..., 0, :], v[1][..., 0, :])
-        hi = (v[0][..., 1, :], v[1][..., 1, :])
-        s = pr._csub(pr.add_pair(lo, hi), pp2)
-        d = pr.mulmod_shoup(pr.sub_pair(pr.add_pair(lo, pp2), hi), w, ws, pp,
-                            lazy=True, exact_q=True)
-        a = tuple(jnp.stack(x, axis=-2).reshape(lead + (L, n))
-                  for x in zip(s, d))
-        t *= 2
-        m //= 2
+    nstage = int(np.log2(n))
+    s_done, m, t = 0, n // 2, 1
+    while s_done < nstage:
+        R = min(radix_log2, nstage - s_done)
+        nbl = 1 << R
+        m_last = m >> (R - 1)
+        v = tuple(x.reshape(lead + (L, m_last, nbl, t)) for x in a)
+        blocks = [(v[0][..., i, :], v[1][..., i, :]) for i in range(nbl)]
+        for lv in range(R):
+            d = 1 << lv
+            for i in range(nbl):
+                if i & d:
+                    continue
+                sub = i >> (lv + 1)          # high bits above the pair bit
+                # stage modulus count: m_lv = m_last << (R - 1 - lv)
+                w = _tw_strided(tb.inv_root, L, m_last, R - 1 - lv, sub)
+                ws = _tw_strided(tb.inv_root_shoup, L, m_last,
+                                 R - 1 - lv, sub)
+                lo, hi = blocks[i], blocks[i + d]
+                blocks[i] = pr._csub(pr.add_pair(lo, hi), pp2)
+                blocks[i + d] = pr.mulmod_shoup(
+                    pr.sub_pair(pr.add_pair(lo, pp2), hi), w, ws, pp,
+                    lazy=True, exact_q=True)
+        s_done += R
+        m >>= R
+        t <<= R
+        a = tuple(jnp.stack([b[pl] for b in blocks], axis=-2
+                            ).reshape(lead + (L, n)) for pl in range(2))
     return pr.mulmod_shoup(a, tb.n_inv, tb.n_inv_shoup, tb.p, exact_q=True)
 
 
