@@ -196,6 +196,17 @@ class PairBehz:
     # ------------------------------------------------------------------
     # multiply pipeline
     # ------------------------------------------------------------------
+    def mul_plain(self, ct: Pair, m: Pair) -> Pair:
+        """(B, 2, k, n) ct x (B, n) mod-t plain (engine._mul_plain)."""
+        tp = self.tp_q
+        m_rns = pr.csub_reduce(_ix(m, np.s_[..., None, :]), self.q_mods,
+                               self.steps_t_mod_q)
+        m_ntt = ntt_pair(m_rns, tp)
+        c_ntt = ntt_pair(ct, tp)
+        out = pr.mulmod(c_ntt, _ix(m_ntt, np.s_[..., None, :, :]),
+                        tp.p, tp.mu, tp.c64)
+        return intt_pair(out, tp)
+
     def prepare(self, a: Pair) -> Pair:
         """(B, 2, k, n) ct -> (B, 2, nb, n) NTT-domain extended operand."""
         ea = _concat([a, self.to_bsk(a)], axis=-2)

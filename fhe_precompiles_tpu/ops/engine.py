@@ -69,8 +69,15 @@ class JaxEngine:
         """
         if ntt_backend == "auto":
             import jax as _jax
-            ntt_backend = ("pair" if _jax.default_backend() == "tpu"
-                           else "stage")
+            g0 = golden if golden is not None else BfvContext(params)
+            golden = g0
+            # single-word Barrett mu requires every pair-path modulus
+            # above 2**32 (true for testnet/n8192; the n=1024 bench preset
+            # uses a small single modulus -> u64 stage path there)
+            pair_ok = min(g0.q_mods + g0.Bsk + g0.key_mods + [g0.m_sk]
+                          ) > (1 << 32)
+            ntt_backend = ("pair" if pair_ok
+                           and _jax.default_backend() == "tpu" else "stage")
         self.params = params
         g = golden if golden is not None else BfvContext(params)
         self.golden = g
@@ -301,6 +308,14 @@ class JaxEngine:
 
     @functools.cached_property
     def _mul_plain(self):
+        if self._pairk is not None:
+            from .pair import from_pair, to_pair
+            pb = self._pairk
+
+            def fp(ct, m):
+                return from_pair(pb.mul_plain(to_pair(ct), to_pair(m)))
+            return jax.jit(fp)
+
         def f(ct, m):
             # lift plain poly mod each q_j, NTT once, multiply every component
             m_rns = csub_reduce(m[..., None, :], self.q_mods,

@@ -121,13 +121,15 @@ def test_device_decrypt_matches_golden(ctx, eng, keys, cts):
     assert decode_unsigned(out2, TESTNET_ONE, 256) == 64
 
 
-def test_mul_relin_bitexact_at_n8192_preset():
-    """Pin the engine op-reduction bounds (csub steps, t-scaled INTT) on a
-    3-ct-limb / larger-t parameter set, not just testnet-one."""
+@pytest.mark.parametrize("backend", ["stage", "pair"])
+def test_mul_relin_bitexact_at_n8192_preset(backend):
+    """Pin the engine op-reduction bounds (csub steps, t-scaled INTT, pair
+    lazy-accumulation widths) on a 3-ct-limb / larger-t parameter set, not
+    just testnet-one."""
     from fhe_precompiles_tpu.bfv.golden import Ciphertext
     from fhe_precompiles_tpu.params import BENCH_N8192
     ctx8 = BfvContext(BENCH_N8192)
-    eng8 = JaxEngine(BENCH_N8192, golden=ctx8)
+    eng8 = JaxEngine(BENCH_N8192, golden=ctx8, ntt_backend=backend)
     pk8, _ = ctx8.generate_keys(seed=b"\x53" * 64)
     rng = np.random.default_rng(5)
     mk = lambda s: Ciphertext(BENCH_N8192, np.stack([
