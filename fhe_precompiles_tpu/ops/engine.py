@@ -53,7 +53,7 @@ class JaxEngine:
     """All BFV ops as jitted, batch-stacked XLA programs for one param set."""
 
     def __init__(self, params: Params, golden: Optional[BfvContext] = None,
-                 ntt_backend: str = "auto"):
+                 ntt_backend: str = "auto", pair_shoup_bits: int = 40):
         """ntt_backend: "auto" (platform-based selection), "pair" (u32-pair
         arithmetic end-to-end: pair stage NTT + pair BEHZ/relin kernels,
         ops/{pair,ntt_pair,behz_pair}.py), "stage" (u64 fused XLA butterfly
@@ -107,12 +107,13 @@ class JaxEngine:
         elif ntt_backend == "pair":
             from .ntt_pair import build_pair_tables, intt_pair, ntt_pair
             from .pair import from_pair, to_pair
-            tp_q = build_pair_tables(g.q_mods, n)
-            tp_all = build_pair_tables(g.q_mods + g.Bsk, n)
+            sb = pair_shoup_bits
+            tp_q = build_pair_tables(g.q_mods, n, shoup_bits=sb)
+            tp_all = build_pair_tables(g.q_mods + g.Bsk, n, shoup_bits=sb)
             tp_all_t = build_pair_tables(
                 g.q_mods + g.Bsk, n,
-                n_inv_factors=[params.t] * self.nb)
-            tp_key = build_pair_tables(g.key_mods, n)
+                n_inv_factors=[params.t] * self.nb, shoup_bits=sb)
+            tp_key = build_pair_tables(g.key_mods, n, shoup_bits=sb)
             self.pair_tables = {"q": tp_q, "all": tp_all, "key": tp_key,
                                 "all_t": tp_all_t}
 

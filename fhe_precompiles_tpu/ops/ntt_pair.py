@@ -37,13 +37,21 @@ class PairNttTables:
     inv_root_shoup: tuple
     n_inv: tuple                # pair of (L, 1)
     n_inv_shoup: tuple
+    inv_last: tuple             # pair of (L, 1): inv_root[1] * n_inv mod p
+    inv_last_shoup: tuple
+    shoup_bits: int = 64        # 40 -> mulmod_shoup40 butterflies
 
 
 def build_pair_tables(moduli: Sequence[int], n: int,
-                      n_inv_factors: Sequence[int] | None = None
-                      ) -> PairNttTables:
+                      n_inv_factors: Sequence[int] | None = None,
+                      shoup_bits: int = 40) -> PairNttTables:
     """n_inv_factors: optional per-limb constants folded into the inverse
-    transform's n^-1 twiddle (same trick as ops/ntt.scale_n_inv)."""
+    transform's n^-1 twiddle (same trick as ops/ntt.scale_n_inv).
+
+    shoup_bits: twiddle Shoup precision.  40 (default) uses the 21-mul
+    beta=40 butterflies of pair.mulmod_shoup40; 64 keeps the 24-mul
+    exact-q path (same bit-exact results either way).
+    """
     tabs = [get_ntt_tables(int(p), n) for p in moduli]
     p_arr = np.array([[int(p)] for p in moduli], dtype=np.uint64)
     root = np.stack([t.root_powers for t in tabs])
@@ -55,6 +63,12 @@ def build_pair_tables(moduli: Sequence[int], n: int,
                              ).reshape(-1, 1))
                  % p_arr.astype(object)).astype(np.uint64)
     c64 = np.array([[(1 << 64) % int(p)] for p in moduli], dtype=np.uint64)
+    sp = (shoup_precompute if shoup_bits == 64 else pr.shoup40)
+    # n^-1 folded into the final inverse stage's single twiddle (SEAL's
+    # "inverse NTT with scalar"): the last level's odd output multiplies
+    # by inv_root[1]*n_inv, the even one by n_inv -- no trailing pass.
+    inv_last = ((inv_root[:, 1:2].astype(object) * n_inv.astype(object))
+                % p_arr.astype(object)).astype(np.uint64)
     return PairNttTables(
         n=n,
         p=pr.split64(p_arr),
@@ -62,11 +76,14 @@ def build_pair_tables(moduli: Sequence[int], n: int,
         mu=pr.mu32(p_arr),
         c64=pr.split64(c64),
         root=pr.split64(root),
-        root_shoup=pr.split64(shoup_precompute(root, p_arr)),
+        root_shoup=pr.split64(sp(root, p_arr)),
         inv_root=pr.split64(inv_root),
-        inv_root_shoup=pr.split64(shoup_precompute(inv_root, p_arr)),
+        inv_root_shoup=pr.split64(sp(inv_root, p_arr)),
         n_inv=pr.split64(n_inv),
-        n_inv_shoup=pr.split64(shoup_precompute(n_inv, p_arr)),
+        n_inv_shoup=pr.split64(sp(n_inv, p_arr)),
+        inv_last=pr.split64(inv_last),
+        inv_last_shoup=pr.split64(sp(inv_last, p_arr)),
+        shoup_bits=shoup_bits,
     )
 
 
@@ -86,6 +103,14 @@ def _tw_strided(tab: tuple, L: int, m: int, step_log2: int, sub: int):
 
 
 RADIX_LOG2 = 2   # stages fused per HBM pass (radix-4); measured best on v5e
+
+
+def _shoup_lazy(tb: PairNttTables):
+    """Butterfly twiddle multiply (< 2p lazy) for the table's precision."""
+    if tb.shoup_bits == 40:
+        return lambda a, w, ws, p: pr.mulmod_shoup40(a, w, ws, p, lazy=True)
+    return lambda a, w, ws, p: pr.mulmod_shoup(a, w, ws, p,
+                                               lazy=True, exact_q=True)
 
 
 def ntt_pair(a: pr.Pair, tb: PairNttTables,
@@ -111,6 +136,7 @@ def ntt_pair(a: pr.Pair, tb: PairNttTables,
     L = a[0].shape[-2]
     pp = (tb.p[0].reshape((L, 1, 1)), tb.p[1].reshape((L, 1, 1)))
     pp2 = (tb.p2[0].reshape((L, 1, 1)), tb.p2[1].reshape((L, 1, 1)))
+    shoup = _shoup_lazy(tb)
     nstage = int(np.log2(n))
     s_done, m, t = 0, 1, n
     while s_done < nstage:
@@ -128,8 +154,7 @@ def ntt_pair(a: pr.Pair, tb: PairNttTables,
                 w = _tw_strided(tb.root, L, m, lv, sub)
                 ws = _tw_strided(tb.root_shoup, L, m, lv, sub)
                 u = pr._csub(blocks[i], pp2)
-                tt = pr.mulmod_shoup(blocks[i + d], w, ws, pp,
-                                     lazy=True, exact_q=True)
+                tt = shoup(blocks[i + d], w, ws, pp)
                 blocks[i] = pr.add_pair(u, tt)
                 blocks[i + d] = pr.sub_pair(pr.add_pair(u, pp2), tt)
         s_done += R
@@ -157,6 +182,12 @@ def intt_pair(a: pr.Pair, tb: PairNttTables,
     L = a[0].shape[-2]
     pp = (tb.p[0].reshape((L, 1, 1)), tb.p[1].reshape((L, 1, 1)))
     pp2 = (tb.p2[0].reshape((L, 1, 1)), tb.p2[1].reshape((L, 1, 1)))
+    shoup = _shoup_lazy(tb)
+    if tb.shoup_bits == 40:
+        canon = lambda x, w, ws: pr.mulmod_shoup40(x, w, ws, pp)
+    else:
+        canon = lambda x, w, ws: pr.mulmod_shoup(x, w, ws, pp, exact_q=True)
+    r3 = lambda f: (f[0].reshape((L, 1, 1)), f[1].reshape((L, 1, 1)))
     nstage = int(np.log2(n))
     s_done, m, t = 0, n // 2, 1
     while s_done < nstage:
@@ -167,25 +198,35 @@ def intt_pair(a: pr.Pair, tb: PairNttTables,
         blocks = [(v[0][..., i, :], v[1][..., i, :]) for i in range(nbl)]
         for lv in range(R):
             d = 1 << lv
+            # final global stage (m_lv == 1): fold n^-1 into both outputs
+            # (one NEW multiply on the even side, a pre-scaled twiddle on
+            # the odd side) and canonicalize -- removes the trailing
+            # full-array n^-1 pass entirely
+            last = s_done + lv + 1 == nstage
             for i in range(nbl):
                 if i & d:
                     continue
                 sub = i >> (lv + 1)          # high bits above the pair bit
                 # stage modulus count: m_lv = m_last << (R - 1 - lv)
-                w = _tw_strided(tb.inv_root, L, m_last, R - 1 - lv, sub)
-                ws = _tw_strided(tb.inv_root_shoup, L, m_last,
-                                 R - 1 - lv, sub)
                 lo, hi = blocks[i], blocks[i + d]
-                blocks[i] = pr._csub(pr.add_pair(lo, hi), pp2)
-                blocks[i + d] = pr.mulmod_shoup(
-                    pr.sub_pair(pr.add_pair(lo, pp2), hi), w, ws, pp,
-                    lazy=True, exact_q=True)
+                s = pr._csub(pr.add_pair(lo, hi), pp2)
+                df = pr.sub_pair(pr.add_pair(lo, pp2), hi)
+                if last:
+                    blocks[i] = canon(s, r3(tb.n_inv), r3(tb.n_inv_shoup))
+                    blocks[i + d] = canon(df, r3(tb.inv_last),
+                                          r3(tb.inv_last_shoup))
+                else:
+                    w = _tw_strided(tb.inv_root, L, m_last, R - 1 - lv, sub)
+                    ws = _tw_strided(tb.inv_root_shoup, L, m_last,
+                                     R - 1 - lv, sub)
+                    blocks[i] = s
+                    blocks[i + d] = shoup(df, w, ws, pp)
         s_done += R
         m >>= R
         t <<= R
         a = tuple(jnp.stack([b[pl] for b in blocks], axis=-2
                             ).reshape(lead + (L, n)) for pl in range(2))
-    return pr.mulmod_shoup(a, tb.n_inv, tb.n_inv_shoup, tb.p, exact_q=True)
+    return a
 
 
 def pointwise_mulmod_pair(a: pr.Pair, b: pr.Pair,

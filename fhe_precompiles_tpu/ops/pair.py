@@ -214,6 +214,54 @@ def mulmod_shoup(a: Pair, w: Pair, ws: Pair, p: Pair, *,
     return _csub(_csub(r, p), p)
 
 
+def shoup40(w, p) -> np.ndarray:
+    """Host precompute floor(w * 2**40 / p) for :func:`mulmod_shoup40`.
+
+    Fits 40 bits (w < p), so the pair's hi word is < 2**8.
+    """
+    w = np.asarray(w, dtype=np.uint64).astype(object)
+    p = np.broadcast_to(np.asarray(p, dtype=np.uint64), w.shape).astype(object)
+    return ((w << 40) // p).astype(np.uint64)
+
+
+def mulmod_shoup40(a: Pair, w: Pair, ws: Pair, p: Pair, *,
+                   lazy: bool = False) -> Pair:
+    """(a*w) mod p with a 40-bit Shoup constant: ws = floor(w*2**40/p).
+
+    Harvey's bound with beta=40: r < p*(1 + a/2**40), so for a < 4p < 2**39
+    the remainder is < 1.5p -- the same exact-q lazy contract as
+    ``mulmod_shoup(..., exact_q=True)`` at 21 native multiplies instead of
+    24 (ws has only 8 hi bits, so q = floor(a*ws/2**40) needs one full
+    32x32 product instead of two).  The NTT butterfly path lives here;
+    general (a < 2**39, 64-bit ws) call sites keep :func:`mulmod_shoup`.
+    """
+    a0, a1 = a
+    w0, w1 = w
+    s0, s1 = ws
+    # ---- S = a * ws exactly (< 2**79), three 32-bit columns ----------
+    l00, h00 = _mul_full(a0, s0)       # (4 mul)
+    l01, h01 = _mul_small(a0, s1)      # s1 < 2**8   (2 mul)
+    l10, h10 = _mul_small(s0, a1)      # a1 < 2**7   (2 mul)
+    p11 = a1 * s1                      # < 2**15     (1 mul)
+    m1 = h00 + l01
+    c1 = (m1 < l01).astype(jnp.uint32)
+    m1b = m1 + l10
+    c2 = (m1b < l10).astype(jnp.uint32)
+    m2 = h01 + h10 + p11 + c1 + c2     # < 2**17
+    # ---- q = floor(S / 2**40) (exact; carries already propagated) ----
+    q0 = (m1b >> jnp.uint32(8)) | (m2 << jnp.uint32(24))
+    q1 = m2 >> jnp.uint32(8)           # q < 2**39
+    # ---- r = a*w - q*p exact on low 64 bits (true r < 2p < 2**38) ----
+    aw = _mul_full(a0, w0)             # (4 mul)
+    aw_hi = aw[1] + a0 * w1 + a1 * w0  # wrapping mid terms  (2 mul)
+    qp = _mul_full(q0, p[0])           # (4 mul)
+    qp_hi = qp[1] + q0 * p[1] + q1 * p[0]                  # (2 mul)
+    r_lo = aw[0] - qp[0]
+    br = (aw[0] < qp[0]).astype(jnp.uint32)
+    r = (r_lo, aw_hi - qp_hi - br)
+    return r if lazy else _csub(r, p)
+
+
 def barrett(x: Pair, mu, p: Pair, *, x_max_bits: int = 62,
             lazy: bool = False) -> Pair:
     """x mod p for x < 2**x_max_bits (<= 64); mu = floor(2**64/p) single u32.

@@ -142,16 +142,18 @@ def test_pair_mulmod_fold_overflow_corner():
 # ----------------------------------------------------------------------
 
 @pytest.mark.parametrize("n", [256, 4096])
-def test_pair_ntt_matches_stage(n):
+@pytest.mark.parametrize("shoup_bits", [40, 64])
+@pytest.mark.parametrize("radix_log2", [2, 3])
+def test_pair_ntt_matches_stage(n, shoup_bits, radix_log2):
     mods = G.q_mods + G.Bsk
     L = len(mods)
     tb64 = build_tables(mods, n)
-    tbp = build_pair_tables(mods, n)
+    tbp = build_pair_tables(mods, n, shoup_bits=shoup_bits)
     x = np.stack([_draw_mod(m, n) for m in mods])[None]  # (1, L, n)
     ref = np.asarray(ntt(np.asarray(x, dtype=np.uint64), tb64))
-    got = _join(ntt_pair(_pairify(x), tbp))
+    got = _join(ntt_pair(_pairify(x), tbp, radix_log2=radix_log2))
     assert (got == ref).all()
-    back = _join(intt_pair(_pairify(got), tbp))
+    back = _join(intt_pair(_pairify(got), tbp, radix_log2=radix_log2))
     assert (back == x).all()
     ref_b = np.asarray(intt(np.asarray(ref, dtype=np.uint64), tb64))
     assert (back == ref_b).all()
@@ -207,4 +209,22 @@ def test_pair_mulmod_shoup_exact_q_harvey_contract(p):
     ref = (a.astype(object) * w.astype(object)) % p
     assert (got.astype(object) == ref).all()
     v = _join(pr.mulmod_shoup(*args, exact_q=True, lazy=True)).astype(object)
+    assert ((v - ref) % p == 0).all() and (v < 2 * p).all()
+
+
+@pytest.mark.parametrize("p", MODULI)
+def test_pair_mulmod_shoup40_harvey_contract(p):
+    """beta=40 Shoup: canonical for a < 4p, lazy bound < 2p (actually
+    < 1.5p by the Harvey bound with a < 2**39); identical residues to the
+    64-bit exact-q path."""
+    N = 2048
+    a = RNG.integers(0, 4 * p, size=N, dtype=np.uint64)
+    a[:4] = [4 * p - 1, 2 * p, p, 0]
+    w = _draw_mod(p, N)
+    ws = pr.shoup40(w, np.uint64(p))
+    args = (_pairify(a), _pairify(w), _pairify(ws), _pairify(np.uint64(p)))
+    ref = (a.astype(object) * w.astype(object)) % p
+    got = _join(pr.mulmod_shoup40(*args))
+    assert (got.astype(object) == ref).all()
+    v = _join(pr.mulmod_shoup40(*args, lazy=True)).astype(object)
     assert ((v - ref) % p == 0).all() and (v < 2 * p).all()

@@ -56,8 +56,10 @@ def main():
     for a in args:
         if a.startswith("trials="):
             trials = int(a.split("=")[1])
-    do_ntt = "ntt" in args or not any(a in ("ntt", "mul") for a in args)
-    do_mul = "mul" in args or not any(a in ("ntt", "mul") for a in args)
+    named = any(a in ("ntt", "mul", "shoup", "mulshoup", "radix")
+                for a in args)
+    do_ntt = "ntt" in args or not named
+    do_mul = "mul" in args or not named
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -109,6 +111,97 @@ def main():
             tps = 2 * B * L / dt
             log(f"{name}: {dt*1e3:.2f} ms/step = {tps:,.0f} transforms/s")
         log(f"pair/stage speedup: {res['ntt_stage']/res['ntt_pair']:.3f}x")
+
+    if "shoup" in args:
+        from fhe_precompiles_tpu.ops.ntt_pair import (build_pair_tables,
+                                                      intt_pair, ntt_pair)
+        from fhe_precompiles_tpu.ops.pair import from_pair, to_pair
+        mods = ctx.q_mods + ctx.Bsk
+        L = len(mods)
+        B = 128
+        tabs = {bits: build_pair_tables(mods, n, shoup_bits=bits)
+                for bits in (40, 64)}
+        x = np.stack([
+            np.stack([rng.integers(0, p, size=(n,), dtype=np.uint64)
+                      for p in mods]) for _ in range(B)])
+        xj = jnp.asarray(x)
+
+        def mk(tbp):
+            def step(c):
+                pr = to_pair(c)
+                return from_pair(intt_pair(ntt_pair(pr, tbp), tbp))
+            return step
+
+        K_LO, K_HI = 2, 12
+        fns = {f"ntt_shoup{bits}": (chain(mk(tb), xj, K_LO),
+                                    chain(mk(tb), xj, K_HI), K_LO, K_HI, xj)
+               for bits, tb in tabs.items()}
+        res = slope(fns, trials)
+        for name, dt in res.items():
+            tps = 2 * B * L / dt
+            log(f"{name}: {dt*1e3:.2f} ms/step = {tps:,.0f} transforms/s")
+        log(f"shoup40/shoup64 speedup: "
+            f"{res['ntt_shoup64']/res['ntt_shoup40']:.3f}x")
+
+    if "radix" in args:
+        # radix-4 vs radix-8 chunking of the shoup40 pair NTT
+        from fhe_precompiles_tpu.ops.ntt_pair import (build_pair_tables,
+                                                      intt_pair, ntt_pair)
+        from fhe_precompiles_tpu.ops.pair import from_pair, to_pair
+        mods = ctx.q_mods + ctx.Bsk
+        L = len(mods)
+        B = 128
+        tbp = build_pair_tables(mods, n)
+        x = np.stack([
+            np.stack([rng.integers(0, p, size=(n,), dtype=np.uint64)
+                      for p in mods]) for _ in range(B)])
+        xj = jnp.asarray(x)
+
+        def mk(r):
+            def step(c):
+                pr = to_pair(c)
+                return from_pair(intt_pair(ntt_pair(pr, tbp, radix_log2=r),
+                                           tbp, radix_log2=r))
+            return step
+
+        K_LO, K_HI = 2, 12
+        fns = {f"ntt_radix{1 << r}": (chain(mk(r), xj, K_LO),
+                                      chain(mk(r), xj, K_HI), K_LO, K_HI, xj)
+               for r in (2, 3)}
+        res = slope(fns, trials)
+        for name, dt in res.items():
+            tps = 2 * B * L / dt
+            log(f"{name}: {dt*1e3:.2f} ms/step = {tps:,.0f} transforms/s")
+        log(f"radix8/radix4 speedup: "
+            f"{res['ntt_radix4']/res['ntt_radix8']:.3f}x")
+
+    if "mulshoup" in args:
+        # end-to-end mul+relin with pair tables at both Shoup precisions
+        engs = {"pair40": JaxEngine(TESTNET_ONE, golden=ctx,
+                                    ntt_backend="pair", pair_shoup_bits=40),
+                "pair64": JaxEngine(TESTNET_ONE, golden=ctx,
+                                    ntt_backend="pair", pair_shoup_bits=64)}
+        pk, sk = ctx.generate_keys(seed=b"\x42" * 64)
+        rk = jnp.asarray(pk.relin.data)
+        B = 128
+        a = jnp.asarray(np.stack([
+            np.stack([rng.integers(0, p, size=(n,), dtype=np.uint64)
+                      for p in ctx.q_mods]) for _ in range(2 * B)
+        ]).reshape(B, 2, len(ctx.q_mods), n))
+        K_LO, K_HI = 4, 24
+        fns = {}
+        for name, eng in engs.items():
+            def mk(eng):
+                def step(c):
+                    return eng._mul_relin.__wrapped__(
+                        c, jnp.roll(c, 1, axis=0), rk)[:, :2]
+                return step
+            fns[f"mul_{name}"] = (chain(mk(eng), a, K_LO),
+                                  chain(mk(eng), a, K_HI), K_LO, K_HI, a)
+        res = slope(fns, trials)
+        for name, dt in res.items():
+            log(f"{name}: {dt*1e3:.2f} ms/batch = {B/dt:,.0f} mul+relin/s")
+        log(f"40/64 speedup: {res['mul_pair64']/res['mul_pair40']:.3f}x")
 
     if do_mul:
         engs = {"stage": JaxEngine(TESTNET_ONE, golden=ctx,
