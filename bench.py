@@ -88,6 +88,7 @@ def main():
         ctx.decrypt(Ciphertext(TESTNET_ONE, np.asarray(out[3])), sk),
         TESTNET_ONE, 64)
     assert got == 16, f"bench pipeline broken: {got}"
+    signal.alarm(600)
 
     # Timing methodology: one dispatch running a data-dependent chain of K
     # batches via lax.scan, returning a scalar digest; the (K_hi - K_lo)

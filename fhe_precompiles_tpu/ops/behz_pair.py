@@ -63,6 +63,10 @@ class PairBehz:
         self.k_key = eng.k_key
         self.tp_q, self.tp_all, self.tp_all_t = tp_q, tp_all, tp_all_t
         self.tp_key = tp_key
+        self.radix_log2 = getattr(eng, "pair_radix_log2", 2)
+        # False restores the broadcast (..., nt, k, n) contraction for
+        # interleaved A/B against the per-source-limb loop (tools/ab_bench)
+        self.loop_contraction = getattr(eng, "pair_loop_contraction", True)
 
         self.q_mods = pr.split64(np.asarray(eng.q_mods))      # (k, 1)
         self.mu_q32 = pr.mu32(np.asarray(eng.q_mods))
@@ -84,8 +88,14 @@ class PairBehz:
         self.msk_half_p1 = pr.split64(
             np.array([[g.m_sk // 2 + 1]], dtype=np.uint64))
 
-        self.mt_mod_q = _split_shoup(eng.mt_mod_q)
-        self.q_hat_inv = _split_shoup(eng.q_hat_inv)
+        # |mt * q_hat_inv|_q as ONE scalar (see to_bsk)
+        q_arr = np.array(g.q_mods, dtype=np.uint64).reshape(-1, 1)
+        mtqh = np.array(
+            [int(g.mtilde_mod_q[i]) * int(g.q_hat_inv[i]) % int(p)
+             for i, p in enumerate(g.q_mods)],
+            dtype=np.uint64).reshape(-1, 1)
+        from .modmath import shoup_precompute as _sp
+        self.mt_qhinv = (pr.split64(mtqh), pr.split64(_sp(mtqh, q_arr)))
         # q_hat_mod_x over Bsk+[mt]: split the Bsk rows / keep the mt row
         # as plain u32 scalars for the mask path
         qhm_w, qhm_ws = (np.asarray(x) for x in eng.q_hat_mod_x)
@@ -115,27 +125,46 @@ class PairBehz:
     # base conversions
     # ------------------------------------------------------------------
     def _fastbconv(self, y: Pair, targets, target_mods: Pair, mu32,
-                   n_terms: int, extra_axis: bool = True) -> Pair:
+                   n_terms: int) -> Pair:
         """sum_i y_i * w[target, i] mod target, lazy-accumulated.
 
         y: (..., k, n) pair, already scaled by q_hat_inv (canonical).
         targets: ((nt, k, 1) w pair, ws pair); returns (..., nt, n).
+
+        Accumulates per SOURCE limb i: each (..., nt, n) term is consumed
+        by the running sum immediately, so XLA fuses the whole contraction
+        into one kernel instead of materializing a (..., nt, k, n)
+        broadcast tensor (measured: the op is HBM-bound; the big
+        intermediate was one of the largest buffers in the mul_relin HLO).
+        Identical residues: the lazy adds are exact integer adds, so the
+        accumulation order cannot change the result.
         """
         w, ws = targets
-        yb = _ix(y, np.s_[..., None, :, :]) if extra_axis else y
-        tm = _ix(target_mods, np.s_[..., None, :]) if extra_axis \
-            else target_mods
-        terms = pr.mulmod_shoup(yb, w, ws, tm, lazy=True)     # each < 3p
-        acc = _ix(terms, np.s_[..., 0, :])
-        for i in range(1, n_terms):
-            acc = pr.add_pair(acc, _ix(terms, np.s_[..., i, :]))
+        if not self.loop_contraction:     # A/B reference formulation
+            yb = _ix(y, np.s_[..., None, :, :])
+            tm = _ix(target_mods, np.s_[..., None, :])
+            terms = pr.mulmod_shoup(yb, w, ws, tm, lazy=True)
+            acc = _ix(terms, np.s_[..., 0, :])
+            for i in range(1, n_terms):
+                acc = pr.add_pair(acc, _ix(terms, np.s_[..., i, :]))
+            return pr.barrett(acc, mu32, target_mods, x_max_bits=44)
+        acc = None
+        for i in range(n_terms):
+            yi = _ix(y, np.s_[..., i:i + 1, :])               # (..., 1, n)
+            term = pr.mulmod_shoup(yi, _ix(w, np.s_[:, i]),
+                                   _ix(ws, np.s_[:, i]),
+                                   target_mods, lazy=True)    # each < 3p
+            acc = term if acc is None else pr.add_pair(acc, term)
         # bound: n_terms * 3p < 2**(39 + log2(n_terms)) -- comfortably < 2**44
         return pr.barrett(acc, mu32, target_mods, x_max_bits=44)
 
     def to_bsk(self, poly_q: Pair) -> Pair:
-        """BEHZ steps 1-2 (engine._to_bsk): (..., k, n) -> (..., nBsk, n)."""
-        scaled = pr.mulmod_shoup(poly_q, *self.mt_mod_q, self.q_mods)
-        y = pr.mulmod_shoup(scaled, *self.q_hat_inv, self.q_mods)
+        """BEHZ steps 1-2 (engine._to_bsk): (..., k, n) -> (..., nBsk, n).
+
+        The m_tilde pre-scale and the FastBconv q_hat_inv scalar compose
+        into ONE per-limb Shoup constant (|x*mt*qhinv|_q == ||x*mt|_q *
+        qhinv|_q), halving the scalar-multiply passes."""
+        y = pr.mulmod_shoup(poly_q, *self.mt_qhinv, self.q_mods)
         c_bsk = self._fastbconv(y, self.q_hat_mod_bsk, self.bsk,
                                 self.mu_bsk32, self.k)
         # m_tilde row: power-of-two modulus, low-word mask arithmetic
@@ -201,16 +230,16 @@ class PairBehz:
         tp = self.tp_q
         m_rns = pr.csub_reduce(_ix(m, np.s_[..., None, :]), self.q_mods,
                                self.steps_t_mod_q)
-        m_ntt = ntt_pair(m_rns, tp)
-        c_ntt = ntt_pair(ct, tp)
+        m_ntt = ntt_pair(m_rns, tp, self.radix_log2)
+        c_ntt = ntt_pair(ct, tp, self.radix_log2)
         out = pr.mulmod(c_ntt, _ix(m_ntt, np.s_[..., None, :, :]),
                         tp.p, tp.mu, tp.c64)
-        return intt_pair(out, tp)
+        return intt_pair(out, tp, self.radix_log2)
 
     def prepare(self, a: Pair) -> Pair:
         """(B, 2, k, n) ct -> (B, 2, nb, n) NTT-domain extended operand."""
         ea = _concat([a, self.to_bsk(a)], axis=-2)
-        return ntt_pair(ea, self.tp_all)
+        return ntt_pair(ea, self.tp_all, self.radix_log2)
 
     def mul_core(self, fa: Pair, fb: Pair) -> Pair:
         """Prepared x prepared -> (B, 3, k, n) scaled tensor (BEHZ tail)."""
@@ -226,9 +255,10 @@ class PairBehz:
                           pa, mua, c64a)
         t1 = pr.submod(pr.submod(cross, t0, pa), t2, pa)
         stacked = _stack([t0, t1, t2], axis=1)
-        tq = intt_pair(stacked, self.tp_all_t)     # t-scale folded in n^-1
-        y = pr.mulmod_shoup(_ix(tq, np.s_[..., :k, :]), *self.q_hat_inv,
-                            self.q_mods)
+        # t-scale AND (ct limbs) q_hat_inv folded into the inverse n^-1
+        # twiddles (engine tp_all_t): tq[:, :k] IS y, no separate pass
+        tq = intt_pair(stacked, self.tp_all_t, self.radix_log2)
+        y = _ix(tq, np.s_[..., :k, :])
         conv = self._fastbconv(y, self.q_hat_mod_bsk, self.bsk,
                                self.mu_bsk32, k)
         num = pr.submod(_ix(tq, np.s_[..., k:, :]), conv, self.bsk)
@@ -241,7 +271,7 @@ class PairBehz:
         c2 = _ix(ct3, np.s_[:, 2])
         d = pr.csub_reduce(_ix(c2, np.s_[:, :, None, :]), self.key_mods,
                            self.steps_ct_mod_key)
-        d_ntt = ntt_pair(d, self.tp_key)
+        d_ntt = ntt_pair(d, self.tp_key, self.radix_log2)
         tpk = self.tp_key
         accs = []
         for comp in range(2):
@@ -254,7 +284,7 @@ class PairBehz:
                     tpk.p, tpk.mu, tpk.c64, lazy=True))
             # k lazy 2p-products: sum < 2*k*p < 2**44
             accs.append(pr.barrett(acc, tpk.mu, tpk.p, x_max_bits=44))
-        acc = intt_pair(_stack(accs, axis=1), self.tp_key)
+        acc = intt_pair(_stack(accs, axis=1), self.tp_key, self.radix_log2)
         # divide by the special prime with rounding
         xP = _ix(acc, np.s_[..., k_key - 1, :])
         P_scalar = (self.P[0][0, 0], self.P[1][0, 0])

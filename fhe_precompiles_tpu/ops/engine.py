@@ -53,7 +53,8 @@ class JaxEngine:
     """All BFV ops as jitted, batch-stacked XLA programs for one param set."""
 
     def __init__(self, params: Params, golden: Optional[BfvContext] = None,
-                 ntt_backend: str = "auto", pair_shoup_bits: int = 40):
+                 ntt_backend: str = "auto", pair_shoup_bits: int = 40,
+                 pair_radix_log2: int = 2):
         """ntt_backend: "auto" (platform-based selection), "pair" (u32-pair
         arithmetic end-to-end: pair stage NTT + pair BEHZ/relin kernels,
         ops/{pair,ntt_pair,behz_pair}.py), "stage" (u64 fused XLA butterfly
@@ -79,6 +80,7 @@ class JaxEngine:
             ntt_backend = ("pair" if pair_ok
                            and _jax.default_backend() == "tpu" else "stage")
         self.params = params
+        self.pair_radix_log2 = pair_radix_log2
         g = golden if golden is not None else BfvContext(params)
         self.golden = g
         n, k, k_key = g.n, g.k, g.k_key
@@ -110,15 +112,24 @@ class JaxEngine:
             sb = pair_shoup_bits
             tp_q = build_pair_tables(g.q_mods, n, shoup_bits=sb)
             tp_all = build_pair_tables(g.q_mods + g.Bsk, n, shoup_bits=sb)
+            # mul_core's inverse transform folds BOTH the FastFloor
+            # pre-scale t AND (for the ct limbs) the FastBconv q_hat_inv
+            # scalar into n^-1 -- tq[:, :k] comes out as y directly and
+            # the separate (B, 3, k, n) Shoup pass disappears
+            qh_t = [params.t * int(g.q_hat_inv[i]) % int(p)
+                    for i, p in enumerate(g.q_mods)]
             tp_all_t = build_pair_tables(
                 g.q_mods + g.Bsk, n,
-                n_inv_factors=[params.t] * self.nb, shoup_bits=sb)
+                n_inv_factors=qh_t + [params.t] * len(g.Bsk),
+                shoup_bits=sb)
             tp_key = build_pair_tables(g.key_mods, n, shoup_bits=sb)
             self.pair_tables = {"q": tp_q, "all": tp_all, "key": tp_key,
                                 "all_t": tp_all_t}
 
+            rl = pair_radix_log2
+
             def wrap(fn, tb):
-                return lambda x: from_pair(fn(to_pair(x), tb))
+                return lambda x: from_pair(fn(to_pair(x), tb, radix_log2=rl))
             self._ntt_q = wrap(ntt_pair, tp_q)
             self._intt_q = wrap(intt_pair, tp_q)
             self._ntt_all = wrap(ntt_pair, tp_all)

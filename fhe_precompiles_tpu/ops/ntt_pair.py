@@ -117,6 +117,10 @@ def ntt_pair(a: pr.Pair, tb: PairNttTables,
              radix_log2: int = RADIX_LOG2) -> pr.Pair:
     """Forward NTT over pair arrays shaped (..., L, n); natural -> bit-rev.
 
+    Inputs must be CANONICAL (< p) -- true for every engine call site; it
+    lets the very first stage skip its conditional subtract (x < p < 2p
+    makes it the identity, but XLA cannot know that at compile time).
+
     Harvey lazy butterflies (SEAL's discipline): values stay < 4p between
     stages; each butterfly does ONE conditional subtract (by 2p) and an
     exact-q Shoup product < 2p with no trailing subtracts:
@@ -153,7 +157,8 @@ def ntt_pair(a: pr.Pair, tb: PairNttTables,
                 sub = i >> (R - lv)          # high lv bits of the index
                 w = _tw_strided(tb.root, L, m, lv, sub)
                 ws = _tw_strided(tb.root_shoup, L, m, lv, sub)
-                u = pr._csub(blocks[i], pp2)
+                u = (blocks[i] if s_done + lv == 0    # canonical input < 2p
+                     else pr._csub(blocks[i], pp2))
                 tt = shoup(blocks[i + d], w, ws, pp)
                 blocks[i] = pr.add_pair(u, tt)
                 blocks[i + d] = pr.sub_pair(pr.add_pair(u, pp2), tt)

@@ -56,8 +56,8 @@ def main():
     for a in args:
         if a.startswith("trials="):
             trials = int(a.split("=")[1])
-    named = any(a in ("ntt", "mul", "shoup", "mulshoup", "radix")
-                for a in args)
+    named = any(a in ("ntt", "mul", "shoup", "mulshoup", "radix", "tail",
+                      "mulradix") for a in args)
     do_ntt = "ntt" in args or not named
     do_mul = "mul" in args or not named
 
@@ -174,6 +174,47 @@ def main():
             log(f"{name}: {dt*1e3:.2f} ms/step = {tps:,.0f} transforms/s")
         log(f"radix8/radix4 speedup: "
             f"{res['ntt_radix4']/res['ntt_radix8']:.3f}x")
+
+    if "tail" in args or "mulradix" in args:
+        # end-to-end mul+relin A/B over pair-engine variants:
+        #   tail     -> loop-accumulated vs broadcast FastBconv contraction
+        #   mulradix -> radix-4 vs radix-8 NTT chunks
+        engs = {}
+        if "tail" in args:
+            e_old = JaxEngine(TESTNET_ONE, golden=ctx, ntt_backend="pair")
+            e_old.pair_loop_contraction = False   # before _pairk builds
+            engs = {"loop": JaxEngine(TESTNET_ONE, golden=ctx,
+                                      ntt_backend="pair"),
+                    "bcast": e_old}
+        else:
+            engs = {"radix4": JaxEngine(TESTNET_ONE, golden=ctx,
+                                        ntt_backend="pair",
+                                        pair_radix_log2=2),
+                    "radix8": JaxEngine(TESTNET_ONE, golden=ctx,
+                                        ntt_backend="pair",
+                                        pair_radix_log2=3)}
+        pk, sk = ctx.generate_keys(seed=b"\x42" * 64)
+        rk = jnp.asarray(pk.relin.data)
+        B = 128
+        a = jnp.asarray(np.stack([
+            np.stack([rng.integers(0, p, size=(n,), dtype=np.uint64)
+                      for p in ctx.q_mods]) for _ in range(2 * B)
+        ]).reshape(B, 2, len(ctx.q_mods), n))
+        K_LO, K_HI = 4, 24
+        fns = {}
+        for name, eng in engs.items():
+            def mk(eng):
+                def step(c):
+                    return eng._mul_relin.__wrapped__(
+                        c, jnp.roll(c, 1, axis=0), rk)[:, :2]
+                return step
+            fns[f"mul_{name}"] = (chain(mk(eng), a, K_LO),
+                                  chain(mk(eng), a, K_HI), K_LO, K_HI, a)
+        res = slope(fns, trials)
+        for name, dt in res.items():
+            log(f"{name}: {dt*1e3:.2f} ms/batch = {B/dt:,.0f} mul+relin/s")
+        names = list(res)
+        log(f"{names[0]}/{names[1]}: {res[names[1]]/res[names[0]]:.3f}x")
 
     if "mulshoup" in args:
         # end-to-end mul+relin with pair tables at both Shoup precisions
