@@ -57,7 +57,7 @@ def main():
         if a.startswith("trials="):
             trials = int(a.split("=")[1])
     named = any(a in ("ntt", "mul", "shoup", "mulshoup", "radix", "tail",
-                      "mulradix") for a in args)
+                      "mulradix", "pallasntt") for a in args)
     do_ntt = "ntt" in args or not named
     do_mul = "mul" in args or not named
 
@@ -142,6 +142,58 @@ def main():
             log(f"{name}: {dt*1e3:.2f} ms/step = {tps:,.0f} transforms/s")
         log(f"shoup40/shoup64 speedup: "
             f"{res['ntt_shoup64']/res['ntt_shoup40']:.3f}x")
+
+    if "pallasntt" in args:
+        # VMEM-resident Pallas pair NTT (shoup40, transpose-free wrapper)
+        # vs the XLA radix-4 pair path, interleaved
+        from fhe_precompiles_tpu.ops.ntt_pair import (build_pair_tables,
+                                                      intt_pair, ntt_pair)
+        from fhe_precompiles_tpu.ops.pair import from_pair, to_pair
+        from fhe_precompiles_tpu.ops.pallas_pair_ntt import PairPallasNtt
+        mods = ctx.q_mods + ctx.Bsk
+        L = len(mods)
+        B = 128
+        tbp = build_pair_tables(mods, n)
+        pp = PairPallasNtt(mods, n)
+        x = np.stack([
+            np.stack([rng.integers(0, p, size=(n,), dtype=np.uint64)
+                      for p in mods]) for _ in range(B)])
+        xj = jnp.asarray(x)
+
+        def xla_step(c):
+            pr = to_pair(c)
+            return from_pair(intt_pair(ntt_pair(pr, tbp), tbp))
+
+        def pallas_step(c):
+            pr = to_pair(c)
+            return from_pair(pp.intt(pp.ntt(pr)))
+
+        # one-off bit-exactness check, compared ON DEVICE (fetching the
+        # full arrays costs minutes over the ~20 MB/s tunnel)
+        log("compiling pallas step...")
+        t0 = time.time()
+        _ = jax.jit(pallas_step).lower(xj).compile()
+        log(f"pallas step compiled in {time.time()-t0:.0f}s")
+
+        @jax.jit
+        def _equal(c):
+            return jnp.all(xla_step(c) == pallas_step(c))
+        assert bool(_equal(xj)), "pallas pair NTT != XLA pair NTT"
+        log("bit-exact on device: ok")
+
+        K_LO, K_HI = 2, 12
+        fns = {
+            "ntt_xla_pair": (chain(xla_step, xj, K_LO),
+                             chain(xla_step, xj, K_HI), K_LO, K_HI, xj),
+            "ntt_pallas": (chain(pallas_step, xj, K_LO),
+                           chain(pallas_step, xj, K_HI), K_LO, K_HI, xj),
+        }
+        res = slope(fns, trials)
+        for name, dt in res.items():
+            tps = 2 * B * L / dt
+            log(f"{name}: {dt*1e3:.2f} ms/step = {tps:,.0f} transforms/s")
+        log(f"pallas/xla speedup: "
+            f"{res['ntt_xla_pair']/res['ntt_pallas']:.3f}x")
 
     if "radix" in args:
         # radix-4 vs radix-8 chunking of the shoup40 pair NTT
