@@ -113,8 +113,40 @@ def _shoup_lazy(tb: PairNttTables):
                                                lazy=True, exact_q=True)
 
 
+def _hi_dtype(blocks, final: bool, hi8: bool):
+    """hi8 chunk-boundary packing: the hi plane of every inter-chunk value
+    fits in 8 bits (lazy bounds < 4p < 2**39 forward, < 2p inverse), so
+    storing it as uint8 cuts the materialized HBM traffic per boundary
+    from 8 to 5 bytes per residue; exact by the documented width bounds.
+    Final outputs stay u32 (public Pair contract).
+
+    MEASURED NEGATIVE (round 3, interleaved A/B on v5e, three variants):
+    0.89x with a post-stack astype (separate un-fused pass), 0.96x with
+    this pre-stack form -- the VPU cost of (32,128)-tile u8 pack/unpack
+    exceeds the 3 bytes/residue saved.  With the radix-4 u32 path already
+    at ~95% of HBM peak (1.03M transforms/s x 786KB), the NTT is at
+    speed-of-light for this formulation; kept off by default (hi8=False)
+    as the documented probe.
+
+    Each block converts BEFORE the boundary stack so the butterfly fusion
+    itself writes u8 (a post-stack astype was measured as a separate
+    un-fused HBM pass: 0.89x instead of a win).  The caller additionally
+    flattens the stacked u8 plane to 2D (rows, n): TPU tiles u8 as
+    (32, 128) on the two minor dims, so a (B, L, n) rank-3 u8 buffer
+    would pad L -> 32 and inflate the plane ~6x."""
+    if hi8 and not final:
+        return [(lo, hi.astype(jnp.uint8)) for lo, hi in blocks]
+    return blocks
+
+
+def _unpack_hi(blocks):
+    """Chunk-entry convert: hi planes arrive as u8 (packed boundary) or
+    u32 (external input); butterflies always compute in u32."""
+    return [(lo, hi.astype(jnp.uint32)) for lo, hi in blocks]
+
+
 def ntt_pair(a: pr.Pair, tb: PairNttTables,
-             radix_log2: int = RADIX_LOG2) -> pr.Pair:
+             radix_log2: int = RADIX_LOG2, hi8: bool = False) -> pr.Pair:
     """Forward NTT over pair arrays shaped (..., L, n); natural -> bit-rev.
 
     Inputs must be CANONICAL (< p) -- true for every engine call site; it
@@ -148,7 +180,8 @@ def ntt_pair(a: pr.Pair, tb: PairNttTables,
         nbl = 1 << R
         t //= nbl
         v = tuple(x.reshape(lead + (L, m, nbl, t)) for x in a)
-        blocks = [(v[0][..., i, :], v[1][..., i, :]) for i in range(nbl)]
+        blocks = _unpack_hi([(v[0][..., i, :], v[1][..., i, :])
+                             for i in range(nbl)])
         for lv in range(R):
             d = 1 << (R - 1 - lv)
             for i in range(nbl):
@@ -166,13 +199,16 @@ def ntt_pair(a: pr.Pair, tb: PairNttTables,
         m <<= R
         if s_done == nstage:   # canonicalize inline: values < 4p -> < p
             blocks = [pr._csub(pr._csub(b, pp2), pp) for b in blocks]
+        blocks = _hi_dtype(blocks, s_done == nstage, hi8)
         a = tuple(jnp.stack([b[pl] for b in blocks], axis=-2
                             ).reshape(lead + (L, n)) for pl in range(2))
+        if hi8 and s_done < nstage:
+            a = (a[0], a[1].reshape(-1, n))   # unpadded u8 tiling
     return a
 
 
 def intt_pair(a: pr.Pair, tb: PairNttTables,
-              radix_log2: int = RADIX_LOG2) -> pr.Pair:
+              radix_log2: int = RADIX_LOG2, hi8: bool = False) -> pr.Pair:
     """Inverse NTT over pair arrays shaped (..., L, n); bit-rev -> natural.
 
     Harvey lazy inverse (values stay < 2p between stages):
@@ -200,7 +236,8 @@ def intt_pair(a: pr.Pair, tb: PairNttTables,
         nbl = 1 << R
         m_last = m >> (R - 1)
         v = tuple(x.reshape(lead + (L, m_last, nbl, t)) for x in a)
-        blocks = [(v[0][..., i, :], v[1][..., i, :]) for i in range(nbl)]
+        blocks = _unpack_hi([(v[0][..., i, :], v[1][..., i, :])
+                             for i in range(nbl)])
         for lv in range(R):
             d = 1 << lv
             # final global stage (m_lv == 1): fold n^-1 into both outputs
@@ -229,8 +266,11 @@ def intt_pair(a: pr.Pair, tb: PairNttTables,
         s_done += R
         m >>= R
         t <<= R
+        blocks = _hi_dtype(blocks, s_done == nstage, hi8)
         a = tuple(jnp.stack([b[pl] for b in blocks], axis=-2
                             ).reshape(lead + (L, n)) for pl in range(2))
+        if hi8 and s_done < nstage:
+            a = (a[0], a[1].reshape(-1, n))   # unpadded u8 tiling
     return a
 
 

@@ -228,3 +228,30 @@ def test_pair_mulmod_shoup40_harvey_contract(p):
     assert (got.astype(object) == ref).all()
     v = _join(pr.mulmod_shoup40(*args, lazy=True)).astype(object)
     assert ((v - ref) % p == 0).all() and (v < 2 * p).all()
+
+
+def test_ntt_pair_hi8_boundary_bit_exact():
+    """u8 hi-plane chunk boundaries (measured-negative perf probe) must
+    stay bit-identical to the u32 path."""
+    import numpy as np
+    from fhe_precompiles_tpu.bfv import BfvContext
+    from fhe_precompiles_tpu.ops.ntt_pair import (build_pair_tables,
+                                                  intt_pair, ntt_pair)
+    from fhe_precompiles_tpu.ops.pair import from_pair, to_pair
+    from fhe_precompiles_tpu.params import TESTNET_ONE
+
+    g = BfvContext(TESTNET_ONE)
+    mods = g.q_mods + g.Bsk
+    n = g.n
+    rng = np.random.default_rng(5)
+    x = np.stack([np.stack([rng.integers(0, p, size=(n,), dtype=np.uint64)
+                            for p in mods]) for _ in range(3)])
+    tb = build_pair_tables(mods, n)
+    a = to_pair(x)
+    f_ref = np.asarray(from_pair(ntt_pair(a, tb)))
+    f_hi8 = np.asarray(from_pair(ntt_pair(a, tb, hi8=True)))
+    assert (f_ref == f_hi8).all()
+    b_ref = np.asarray(from_pair(intt_pair(to_pair(f_ref), tb)))
+    b_hi8 = np.asarray(from_pair(intt_pair(to_pair(f_ref), tb, hi8=True)))
+    assert (b_ref == b_hi8).all()
+    assert (b_ref == x).all()

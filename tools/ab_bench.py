@@ -57,7 +57,7 @@ def main():
         if a.startswith("trials="):
             trials = int(a.split("=")[1])
     named = any(a in ("ntt", "mul", "shoup", "mulshoup", "radix", "tail",
-                      "mulradix", "pallasntt") for a in args)
+                      "mulradix", "pallasntt", "hi8") for a in args)
     do_ntt = "ntt" in args or not named
     do_mul = "mul" in args or not named
 
@@ -194,6 +194,46 @@ def main():
             log(f"{name}: {dt*1e3:.2f} ms/step = {tps:,.0f} transforms/s")
         log(f"pallas/xla speedup: "
             f"{res['ntt_xla_pair']/res['ntt_pallas']:.3f}x")
+
+    if "hi8" in args:
+        # u8 hi plane at chunk boundaries (5B/residue HBM) vs full u32
+        # pairs (8B), radix-4 shoup40 pair NTT, interleaved
+        from fhe_precompiles_tpu.ops.ntt_pair import (build_pair_tables,
+                                                      intt_pair, ntt_pair)
+        from fhe_precompiles_tpu.ops.pair import from_pair, to_pair
+        mods = ctx.q_mods + ctx.Bsk
+        L = len(mods)
+        B = 128
+        tbp = build_pair_tables(mods, n)
+        x = np.stack([
+            np.stack([rng.integers(0, p, size=(n,), dtype=np.uint64)
+                      for p in mods]) for _ in range(B)])
+        xj = jnp.asarray(x)
+
+        def mk(hi8):
+            def step(c):
+                p = to_pair(c)
+                return from_pair(intt_pair(ntt_pair(p, tbp, hi8=hi8),
+                                           tbp, hi8=hi8))
+            return step
+
+        @jax.jit
+        def _equal(c):
+            return jnp.all(mk(False)(c) == mk(True)(c))
+        assert bool(_equal(xj)), "hi8 path != u32 path"
+        log("bit-exact on device: ok")
+
+        K_LO, K_HI = 2, 12
+        fns = {}
+        for name, hi8 in (("ntt_hi32", False), ("ntt_hi8", True)):
+            st = mk(hi8)
+            fns[name] = (chain(st, xj, K_LO), chain(st, xj, K_HI),
+                         K_LO, K_HI, xj)
+        res = slope(fns, trials)
+        for name, dt in res.items():
+            tps = 2 * B * L / dt
+            log(f"{name}: {dt*1e3:.2f} ms/step = {tps:,.0f} transforms/s")
+        log(f"hi8/hi32 speedup: {res['ntt_hi32']/res['ntt_hi8']:.3f}x")
 
     if "radix" in args:
         # radix-4 vs radix-8 chunking of the shoup40 pair NTT
