@@ -295,23 +295,36 @@ def main():
             " available, so the >=80% 2-host north star remains unmeasured"
             " on real chips.\n"
             "* Remote-tunnel measurement noise is +-10-15% run-to-run;"
-            " chain-slope timing is used throughout.\n"
-            "\n## Roofline notes\n\n"
-            "* The headline mul+relin rate times the XLA-counted scalar-op"
-            " cost gives the achieved integer-op throughput above; against"
-            " an estimated v5e VPU peak of ~6.5e12 scalar ops/s the"
-            " pipeline runs at the utilization fraction listed -- the"
-            " formulation is compute-bound on emulated-u64 VPU work, so"
-            " further gains must reduce op count, not improve occupancy.\n"
-            "* MXU offload was evaluated and rejected: exact 37-bit modular"
-            " butterflies need >=5 8-bit digit planes, so the four-step"
-            " matmul NTT pays a ~25x digit-pair inflation that exceeds the"
-            " MXU's ~10x rate advantage at n=4096 (measured: mxu/pallas"
-            " backends at or below the XLA stage path; see"
-            " pallas_ntt_n4096_transforms_per_sec).\n"
-            "* A radix-4 (two-stages-per-pass) NTT reformulation was"
-            " bit-exact but performance-neutral: XLA rematerializes the"
-            " intermediate half-stage, so HBM traffic does not drop.\n")
+            " chain-slope timing is used throughout.  The shared dev chip"
+            " additionally shows multi-minute CONTENTION WINDOWS (identical"
+            " code measured 6.7k/12.8k/19.4k mul+relin/s within an hour):"
+            " all optimization decisions use interleaved A/B"
+            " (tools/ab_bench.py); absolute rows here come from one run and"
+            " carry that window's bias.\n"
+            "\n## Roofline notes (round-3 state: u32-pair backend)\n\n"
+            "* The radix-4 shoup40 pair NTT measures ~1.0M transforms/s at"
+            " n=4096 x 786KB HBM read+write per transform (6 fused chunk"
+            " passes) = ~95% of v5e's 819 GB/s HBM peak -- the NTT is"
+            " MEMORY-BANDWIDTH-BOUND at speed-of-light for this"
+            " formulation.  mul+relin spends ~60% of its time in its 47"
+            " transforms; the BEHZ tail between transforms is"
+            " compute/occupancy-bound VPU work.\n"
+            "* Directions measured and closed (interleaved A/B, all"
+            " bit-exact, code kept with tests): (1) VMEM-resident fused"
+            " Pallas NTT = 0.46x -- removing 5 of 6 HBM passes costs the"
+            " SIMD select-both penalty, 2x products/point"
+            " (ops/pallas_pair_ntt.py); (2) u8 hi-plane chunk boundaries ="
+            " 0.89-0.96x -- (32,128)-tile u8 pack/unpack exceeds the 3"
+            " bytes/residue saved (ntt_pair hi8 flag); (3) radix-8 chunks"
+            " lose to vreg spills standalone AND e2e; (4) MXU"
+            " digit-decomposition NTT: >=5 8-bit digit planes inflate work"
+            " ~25x vs the MXU's ~10x rate advantage at n=4096"
+            " (ops/mxu_ntt.py).\n"
+            "* The XLA-counted scalar-op row and VPU fraction are kept for"
+            " continuity; with the pair backend the binding constraint is"
+            " HBM bandwidth in the NTT and op count in the tail, so"
+            " further gains must remove whole passes/ops, not improve"
+            " occupancy.\n")
     log("wrote benchmarks/RESULTS.md")
 
 

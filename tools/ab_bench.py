@@ -57,7 +57,7 @@ def main():
         if a.startswith("trials="):
             trials = int(a.split("=")[1])
     named = any(a in ("ntt", "mul", "shoup", "mulshoup", "radix", "tail",
-                      "mulradix", "pallasntt", "hi8") for a in args)
+                      "mulradix", "pallasntt", "hi8", "bsize") for a in args)
     do_ntt = "ntt" in args or not named
     do_mul = "mul" in args or not named
 
@@ -194,6 +194,35 @@ def main():
             log(f"{name}: {dt*1e3:.2f} ms/step = {tps:,.0f} transforms/s")
         log(f"pallas/xla speedup: "
             f"{res['ntt_xla_pair']/res['ntt_pallas']:.3f}x")
+
+    if "bsize" in args:
+        # mul+relin ops/s at different batch sizes (slope method removes
+        # dispatch overhead, so this isolates intrinsic per-op cost)
+        eng = JaxEngine(TESTNET_ONE, golden=ctx, ntt_backend="pair")
+        pk, sk = ctx.generate_keys(seed=b"\x42" * 64)
+        rk = jnp.asarray(pk.relin.data)
+        K_LO, K_HI = 4, 16
+        fns = {}
+        sizes = {}
+        for B in (64, 128, 256):
+            a = jnp.asarray(np.stack([
+                np.stack([rng.integers(0, p, size=(n,), dtype=np.uint64)
+                          for p in ctx.q_mods]) for _ in range(2 * B)
+            ]).reshape(B, 2, len(ctx.q_mods), n))
+
+            def mk():
+                def step(c):
+                    return eng._mul_relin.__wrapped__(
+                        c, jnp.roll(c, 1, axis=0), rk)[:, :2]
+                return step
+            st = mk()
+            fns[f"B{B}"] = (chain(st, a, K_LO), chain(st, a, K_HI),
+                            K_LO, K_HI, a)
+            sizes[f"B{B}"] = B
+        res = slope(fns, trials)
+        for name, dt in res.items():
+            log(f"{name}: {dt*1e3:.2f} ms/batch = "
+                f"{sizes[name]/dt:,.0f} mul+relin/s")
 
     if "hi8" in args:
         # u8 hi plane at chunk boundaries (5B/residue HBM) vs full u32
