@@ -28,9 +28,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def chain_time(step, x0, k_lo=4, k_hi=24):
+def chain_time(step, x0, k_lo=4, k_hi=24, rounds=3):
     """Per-step seconds via single-dispatch scan-chain slope (see bench.py:
-    dispatch/transfer latency cancels; robust on remote-attached chips)."""
+    dispatch/transfer latency cancels; robust on remote-attached chips).
+
+    Interleaves `rounds` (t_lo, t_hi) measurements and slopes the per-K
+    minima: a single-shot slope can straddle a contention-window edge on
+    the shared chip and report impossible rates (observed once: a decrypt
+    row at ~100x its HBM read floor)."""
     import jax
     import jax.numpy as jnp
 
@@ -43,14 +48,16 @@ def chain_time(step, x0, k_lo=4, k_hi=24):
             return jnp.sum(jax.tree_util.tree_leaves(y)[0])
         return f
 
-    times = {}
-    for K in (k_lo, k_hi):
-        f = make(K)
+    fns = {K: make(K) for K in (k_lo, k_hi)}
+    times = {K: [] for K in fns}
+    for f in fns.values():
         np.asarray(f(x0))          # compile + sync
-        t0 = time.time()
-        np.asarray(f(x0))
-        times[K] = time.time() - t0
-    return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
+    for _ in range(rounds):
+        for K, f in fns.items():
+            t0 = time.time()
+            np.asarray(f(x0))
+            times[K].append(time.time() - t0)
+    return (min(times[k_hi]) - min(times[k_lo])) / (k_hi - k_lo)
 
 
 def rand_ct_batch(ctx, B, rng):

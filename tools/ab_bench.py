@@ -57,7 +57,8 @@ def main():
         if a.startswith("trials="):
             trials = int(a.split("=")[1])
     named = any(a in ("ntt", "mul", "shoup", "mulshoup", "radix", "tail",
-                      "mulradix", "pallasntt", "hi8", "bsize") for a in args)
+                      "mulradix", "pallasntt", "hi8", "bsize", "mxu16k")
+                for a in args)
     do_ntt = "ntt" in args or not named
     do_mul = "mul" in args or not named
 
@@ -194,6 +195,55 @@ def main():
             log(f"{name}: {dt*1e3:.2f} ms/step = {tps:,.0f} transforms/s")
         log(f"pallas/xla speedup: "
             f"{res['ntt_xla_pair']/res['ntt_pallas']:.3f}x")
+
+    if "mxu16k" in args:
+        # the round-3 "revisit MXU digit NTT only at n >= 16384" item:
+        # four-step digit matmuls (R=C=128, MXU) vs the radix-4 shoup40
+        # pair path at n=16384, interleaved.  Bigger n favors MXU in
+        # principle: VPU digitize/recombine is O(1) per point while the
+        # butterfly path grows log2(n) stages and ceil(log2(n)/2) HBM
+        # passes.
+        from fhe_precompiles_tpu.ops import mxu_ntt
+        from fhe_precompiles_tpu.ops.ntt_pair import (build_pair_tables,
+                                                      intt_pair, ntt_pair)
+        from fhe_precompiles_tpu.ops.pair import from_pair, to_pair
+        from fhe_precompiles_tpu.params import ntt_friendly_primes
+        n16 = 16384
+        mods16 = ntt_friendly_primes(n16, 3, below=1 << 37)
+        assert min(mods16) > (1 << 32)
+        L = len(mods16)
+        B = 32
+        tbp = build_pair_tables(mods16, n16)
+        tbm = mxu_ntt.build_mxu_tables(tuple(mods16), n16, C=128)
+        x = np.stack([
+            np.stack([rng.integers(0, p, size=(n16,), dtype=np.uint64)
+                      for p in mods16]) for _ in range(B)])
+        xj = jnp.asarray(x)
+
+        def pair_step(c):
+            return from_pair(intt_pair(ntt_pair(to_pair(c), tbp), tbp))
+
+        def mxu_step(c):
+            return mxu_ntt.intt(mxu_ntt.ntt(c, tbm), tbm)
+
+        @jax.jit
+        def _equal(c):
+            return jnp.all(pair_step(c) == mxu_step(c))
+        assert bool(_equal(xj)), "mxu16k != pair NTT"
+        log("bit-exact on device: ok")
+
+        K_LO, K_HI = 2, 8
+        fns = {}
+        for name, st in (("ntt16k_pair", pair_step), ("ntt16k_mxu",
+                                                      mxu_step)):
+            fns[name] = (chain(st, xj, K_LO), chain(st, xj, K_HI),
+                         K_LO, K_HI, xj)
+        res = slope(fns, trials)
+        for name, dt in res.items():
+            tps = 2 * B * L / dt
+            log(f"{name}: {dt*1e3:.2f} ms/step = {tps:,.0f} transforms/s")
+        log(f"mxu/pair speedup: "
+            f"{res['ntt16k_pair']/res['ntt16k_mxu']:.3f}x")
 
     if "bsize" in args:
         # mul+relin ops/s at different batch sizes (slope method removes
