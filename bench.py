@@ -130,11 +130,13 @@ def main():
 
     # The shared dev chip has multi-minute contention windows that depress
     # throughput up to ~3x (measured 2026-08-17).  Sample several windows
-    # spread over ~4 min and keep the fastest observation per K: the
+    # spread over ~6 min and keep the fastest observation per K: the
     # best window reflects chip capability, the rest reflect neighbors.
-    deadline = time.time() + 240
+    # (6 min because single windows were observed to span most of the old
+    # 4-min budget, leaving every sample inside one slow window.)
+    deadline = time.time() + 360
     rounds = 0
-    while rounds < 3 or (time.time() < deadline and rounds < 10):
+    while rounds < 3 or (time.time() < deadline and rounds < 14):
         for K in (K_LO, K_HI):
             t0 = time.time()
             np.asarray(chains[K](a, rk))
