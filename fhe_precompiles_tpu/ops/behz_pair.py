@@ -67,6 +67,16 @@ class PairBehz:
         # False restores the broadcast (..., nt, k, n) contraction for
         # interleaved A/B against the per-source-limb loop (tools/ab_bench)
         self.loop_contraction = getattr(eng, "pair_loop_contraction", True)
+        # "pallas" routes the inter-NTT tail segments through the fused
+        # VMEM kernels of ops/pallas_tail.py (XLA splits the giant
+        # elementwise pair-arithmetic chains into multiple HBM passes;
+        # the kernels do one read + one write per tensor).  Bit-exact.
+        self.tail = None
+        tail_mode = getattr(eng, "pair_tail", "xla")
+        if tail_mode in ("pallas", "pallas-interpret"):
+            from .pallas_tail import PairTailPallas
+            self.tail = PairTailPallas(
+                self, eng.n, interpret=(tail_mode == "pallas-interpret"))
 
         self.q_mods = pr.split64(np.asarray(eng.q_mods))      # (k, 1)
         self.mu_q32 = pr.mu32(np.asarray(eng.q_mods))
@@ -238,7 +248,10 @@ class PairBehz:
 
     def prepare(self, a: Pair) -> Pair:
         """(B, 2, k, n) ct -> (B, 2, nb, n) NTT-domain extended operand."""
-        ea = _concat([a, self.to_bsk(a)], axis=-2)
+        if self.tail is not None:
+            ea = self.tail.to_bsk_ext(a)
+        else:
+            ea = _concat([a, self.to_bsk(a)], axis=-2)
         return ntt_pair(ea, self.tp_all, self.radix_log2)
 
     def mul_core(self, fa: Pair, fb: Pair) -> Pair:
@@ -246,18 +259,23 @@ class PairBehz:
         k = self.k
         tp = self.tp_all
         pa, mua, c64a = tp.p, tp.mu, tp.c64
-        fa0, fa1 = _ix(fa, np.s_[:, 0]), _ix(fa, np.s_[:, 1])
-        fb0, fb1 = _ix(fb, np.s_[:, 0]), _ix(fb, np.s_[:, 1])
-        # Karatsuba over the 2x2 tensor: 3 general modmuls instead of 4
-        t0 = pr.mulmod(fa0, fb0, pa, mua, c64a)
-        t2 = pr.mulmod(fa1, fb1, pa, mua, c64a)
-        cross = pr.mulmod(pr.addmod(fa0, fa1, pa), pr.addmod(fb0, fb1, pa),
-                          pa, mua, c64a)
-        t1 = pr.submod(pr.submod(cross, t0, pa), t2, pa)
-        stacked = _stack([t0, t1, t2], axis=1)
+        if self.tail is not None:
+            stacked = self.tail.dyadic(fa, fb)
+        else:
+            fa0, fa1 = _ix(fa, np.s_[:, 0]), _ix(fa, np.s_[:, 1])
+            fb0, fb1 = _ix(fb, np.s_[:, 0]), _ix(fb, np.s_[:, 1])
+            # Karatsuba over the 2x2 tensor: 3 general modmuls not 4
+            t0 = pr.mulmod(fa0, fb0, pa, mua, c64a)
+            t2 = pr.mulmod(fa1, fb1, pa, mua, c64a)
+            cross = pr.mulmod(pr.addmod(fa0, fa1, pa),
+                              pr.addmod(fb0, fb1, pa), pa, mua, c64a)
+            t1 = pr.submod(pr.submod(cross, t0, pa), t2, pa)
+            stacked = _stack([t0, t1, t2], axis=1)
         # t-scale AND (ct limbs) q_hat_inv folded into the inverse n^-1
         # twiddles (engine tp_all_t): tq[:, :k] IS y, no separate pass
         tq = intt_pair(stacked, self.tp_all_t, self.radix_log2)
+        if self.tail is not None:
+            return self.tail.floor_sk(tq)
         y = _ix(tq, np.s_[..., :k, :])
         conv = self._fastbconv(y, self.q_hat_mod_bsk, self.bsk,
                                self.mu_bsk32, k)
@@ -273,18 +291,24 @@ class PairBehz:
                            self.steps_ct_mod_key)
         d_ntt = ntt_pair(d, self.tp_key, self.radix_log2)
         tpk = self.tp_key
-        accs = []
-        for comp in range(2):
-            acc = pr.mulmod(_ix(d_ntt, np.s_[:, 0]),
-                            _ix(rk, np.s_[0, comp]),
-                            tpk.p, tpk.mu, tpk.c64, lazy=True)
-            for j in range(1, k):
-                acc = pr.add_pair(acc, pr.mulmod(
-                    _ix(d_ntt, np.s_[:, j]), _ix(rk, np.s_[j, comp]),
-                    tpk.p, tpk.mu, tpk.c64, lazy=True))
-            # k lazy 2p-products: sum < 2*k*p < 2**44
-            accs.append(pr.barrett(acc, tpk.mu, tpk.p, x_max_bits=44))
-        acc = intt_pair(_stack(accs, axis=1), self.tp_key, self.radix_log2)
+        if self.tail is not None:
+            acc_ntt = self.tail.relin_dot(d_ntt, rk)
+        else:
+            accs = []
+            for comp in range(2):
+                acc = pr.mulmod(_ix(d_ntt, np.s_[:, 0]),
+                                _ix(rk, np.s_[0, comp]),
+                                tpk.p, tpk.mu, tpk.c64, lazy=True)
+                for j in range(1, k):
+                    acc = pr.add_pair(acc, pr.mulmod(
+                        _ix(d_ntt, np.s_[:, j]), _ix(rk, np.s_[j, comp]),
+                        tpk.p, tpk.mu, tpk.c64, lazy=True))
+                # k lazy 2p-products: sum < 2*k*p < 2**44
+                accs.append(pr.barrett(acc, tpk.mu, tpk.p, x_max_bits=44))
+            acc_ntt = _stack(accs, axis=1)
+        acc = intt_pair(acc_ntt, self.tp_key, self.radix_log2)
+        if self.tail is not None:
+            return self.tail.mod_down(acc, _ix(ct3, np.s_[:, :2]))
         # divide by the special prime with rounding
         xP = _ix(acc, np.s_[..., k_key - 1, :])
         P_scalar = (self.P[0][0, 0], self.P[1][0, 0])

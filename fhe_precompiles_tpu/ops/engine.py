@@ -54,7 +54,7 @@ class JaxEngine:
 
     def __init__(self, params: Params, golden: Optional[BfvContext] = None,
                  ntt_backend: str = "auto", pair_shoup_bits: int = 40,
-                 pair_radix_log2: int = 2):
+                 pair_radix_log2: int = 2, pair_tail: str = "auto"):
         """ntt_backend: "auto" (platform-based selection), "pair" (u32-pair
         arithmetic end-to-end: pair stage NTT + pair BEHZ/relin kernels,
         ops/{pair,ntt_pair,behz_pair}.py), "stage" (u64 fused XLA butterfly
@@ -81,6 +81,14 @@ class JaxEngine:
                            and _jax.default_backend() == "tpu" else "stage")
         self.params = params
         self.pair_radix_log2 = pair_radix_log2
+        if pair_tail == "auto":
+            # "pallas" = fused VMEM tail kernels (ops/pallas_tail.py);
+            # bit-exact, but NOT yet A/B-measured on a real chip (the
+            # tunnel died before the tailpallas run) -- auto stays on the
+            # measured XLA tail until tools/ab_bench.py tailpallas shows
+            # a win.  Flip here when it does.
+            pair_tail = "xla"
+        self.pair_tail = pair_tail
         g = golden if golden is not None else BfvContext(params)
         self.golden = g
         n, k, k_key = g.n, g.k, g.k_key

@@ -1,0 +1,97 @@
+"""Bit-exactness of the fused Pallas BEHZ-tail kernels (interpret mode on
+CPU) against the XLA pair formulation of ops/behz_pair.py, segment by
+segment and end-to-end through the engine."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fhe_precompiles_tpu.bfv import BfvContext
+from fhe_precompiles_tpu.ops import pair as pr
+from fhe_precompiles_tpu.ops.engine import JaxEngine
+from fhe_precompiles_tpu.params import TESTNET_ONE
+
+G = BfvContext(TESTNET_ONE)
+RNG = np.random.default_rng(17)
+
+
+@pytest.fixture(scope="module")
+def engines():
+    e_xla = JaxEngine(TESTNET_ONE, golden=G, ntt_backend="pair",
+                      pair_tail="xla")
+    e_pal = JaxEngine(TESTNET_ONE, golden=G, ntt_backend="pair",
+                      pair_tail="pallas-interpret")
+    return e_xla, e_pal
+
+
+def _rand_rows(shape, mods):
+    out = np.empty(shape + (G.n,), dtype=np.uint64)
+    for idx in np.ndindex(shape[:-1]):
+        for li, p in enumerate(mods):
+            out[idx + (li,)] = RNG.integers(0, p, size=G.n, dtype=np.uint64)
+    return out
+
+
+def _eq(a: pr.Pair, b: pr.Pair) -> bool:
+    return (np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+            and np.array_equal(np.asarray(a[1]), np.asarray(b[1])))
+
+
+def test_to_bsk_ext(engines):
+    e_xla, e_pal = engines
+    pbx, pbp = e_xla._pairk, e_pal._pairk
+    a = pr.to_pair(jnp.asarray(_rand_rows((2, 2, pbx.k), G.q_mods)))
+    want_lo = jnp.concatenate(
+        [a[0], pbx.to_bsk(a)[0]], axis=-2), jnp.concatenate(
+        [a[1], pbx.to_bsk(a)[1]], axis=-2)
+    got = pbp.tail.to_bsk_ext(a)
+    assert _eq(got, want_lo)
+
+
+def test_dyadic(engines):
+    e_xla, e_pal = engines
+    pbx, pbp = e_xla._pairk, e_pal._pairk
+    mods = G.q_mods + G.Bsk
+    fa = pr.to_pair(jnp.asarray(_rand_rows((3, 2, pbx.nb), mods)))
+    fb = pr.to_pair(jnp.asarray(_rand_rows((3, 2, pbx.nb), mods)))
+    tpa = pbx.tp_all
+    import fhe_precompiles_tpu.ops.behz_pair as bz
+    fa0, fa1 = bz._ix(fa, np.s_[:, 0]), bz._ix(fa, np.s_[:, 1])
+    fb0, fb1 = bz._ix(fb, np.s_[:, 0]), bz._ix(fb, np.s_[:, 1])
+    pa, mua, c64a = tpa.p, tpa.mu, tpa.c64
+    t0 = pr.mulmod(fa0, fb0, pa, mua, c64a)
+    t2 = pr.mulmod(fa1, fb1, pa, mua, c64a)
+    cross = pr.mulmod(pr.addmod(fa0, fa1, pa), pr.addmod(fb0, fb1, pa),
+                      pa, mua, c64a)
+    t1 = pr.submod(pr.submod(cross, t0, pa), t2, pa)
+    want = bz._stack([t0, t1, t2], axis=1)
+    got = pbp.tail.dyadic(fa, fb)
+    assert _eq(got, want)
+
+
+def test_floor_sk(engines):
+    e_xla, e_pal = engines
+    pbx, pbp = e_xla._pairk, e_pal._pairk
+    mods = G.q_mods + G.Bsk
+    k = pbx.k
+    tq = pr.to_pair(jnp.asarray(_rand_rows((2, 3, pbx.nb), mods)))
+    import fhe_precompiles_tpu.ops.behz_pair as bz
+    y = bz._ix(tq, np.s_[..., :k, :])
+    conv = pbx._fastbconv(y, pbx.q_hat_mod_bsk, pbx.bsk, pbx.mu_bsk32, k)
+    num = pr.submod(bz._ix(tq, np.s_[..., k:, :]), conv, pbx.bsk)
+    floor_bsk = pr.mulmod_shoup(num, *pbx.inv_q_mod_bsk, pbx.bsk)
+    want = pbx.fastbconv_sk(floor_bsk)
+    got = pbp.tail.floor_sk(tq)
+    assert _eq(got, want)
+
+
+def test_mul_relin_end_to_end(engines):
+    e_xla, e_pal = engines
+    pk, sk = G.generate_keys(seed=b"\x21" * 64)
+    rk = jnp.asarray(pk.relin.data)
+    B = 2
+    a = jnp.asarray(_rand_rows((B, 2, G.k), G.q_mods))
+    b = jnp.asarray(_rand_rows((B, 2, G.k), G.q_mods))
+    out_x = np.asarray(e_xla._mul_relin(a, b, rk))
+    out_p = np.asarray(e_pal._mul_relin(a, b, rk))
+    assert np.array_equal(out_x, out_p)

@@ -57,7 +57,8 @@ def main():
         if a.startswith("trials="):
             trials = int(a.split("=")[1])
     named = any(a in ("ntt", "mul", "shoup", "mulshoup", "radix", "tail",
-                      "mulradix", "pallasntt", "hi8", "bsize", "mxu16k")
+                      "mulradix", "pallasntt", "hi8", "bsize", "mxu16k",
+                      "tailpallas")
                 for a in args)
     do_ntt = "ntt" in args or not named
     do_mul = "mul" in args or not named
@@ -195,6 +196,50 @@ def main():
             log(f"{name}: {dt*1e3:.2f} ms/step = {tps:,.0f} transforms/s")
         log(f"pallas/xla speedup: "
             f"{res['ntt_xla_pair']/res['ntt_pallas']:.3f}x")
+
+    if "tailpallas" in args:
+        # fused VMEM Pallas tail kernels (ops/pallas_tail.py) vs the XLA
+        # pair tail, full mul+relin, interleaved
+        engs = {"xla": JaxEngine(TESTNET_ONE, golden=ctx,
+                                 ntt_backend="pair", pair_tail="xla"),
+                "pallas": JaxEngine(TESTNET_ONE, golden=ctx,
+                                    ntt_backend="pair",
+                                    pair_tail="pallas")}
+        pk, sk = ctx.generate_keys(seed=b"\x42" * 64)
+        rk = jnp.asarray(pk.relin.data)
+        B = 128
+        a = jnp.asarray(np.stack([
+            np.stack([rng.integers(0, p, size=(n,), dtype=np.uint64)
+                      for p in ctx.q_mods]) for _ in range(2 * B)
+        ]).reshape(B, 2, len(ctx.q_mods), n))
+
+        def mk(eng):
+            def step(c):
+                return eng._mul_relin.__wrapped__(
+                    c, jnp.roll(c, 1, axis=0), rk)[:, :2]
+            return step
+
+        log("compiling pallas-tail step...")
+        t0 = time.time()
+        _ = jax.jit(mk(engs["pallas"])).lower(a).compile()
+        log(f"compiled in {time.time()-t0:.0f}s")
+
+        @jax.jit
+        def _equal(c):
+            return jnp.all(mk(engs["xla"])(c) == mk(engs["pallas"])(c))
+        assert bool(_equal(a)), "pallas tail != xla tail"
+        log("bit-exact on device: ok")
+
+        K_LO, K_HI = 4, 24
+        fns = {}
+        for name, eng in engs.items():
+            st = mk(eng)
+            fns[f"mul_{name}"] = (chain(st, a, K_LO), chain(st, a, K_HI),
+                                  K_LO, K_HI, a)
+        res = slope(fns, trials)
+        for name, dt in res.items():
+            log(f"{name}: {dt*1e3:.2f} ms/batch = {B/dt:,.0f} mul+relin/s")
+        log(f"pallas/xla speedup: {res['mul_xla']/res['mul_pallas']:.3f}x")
 
     if "mxu16k" in args:
         # the round-3 "revisit MXU digit NTT only at n >= 16384" item:
