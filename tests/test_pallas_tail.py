@@ -95,3 +95,44 @@ def test_mul_relin_end_to_end(engines):
     out_x = np.asarray(e_xla._mul_relin(a, b, rk))
     out_p = np.asarray(e_pal._mul_relin(a, b, rk))
     assert np.array_equal(out_x, out_p)
+
+
+def test_relin_dot_and_mod_down(engines):
+    e_xla, e_pal = engines
+    pbx, pbp = e_xla._pairk, e_pal._pairk
+    import fhe_precompiles_tpu.ops.behz_pair as bz
+    k, k_key = pbx.k, pbx.k_key
+    km = [int(p) for p in G.key_mods]
+    B = 2
+    d_ntt = pr.to_pair(jnp.asarray(_rand_rows((B, k, k_key), km)))
+    rk = pr.to_pair(jnp.asarray(_rand_rows((k, 2, k_key), km)))
+    tpk = pbx.tp_key
+    accs = []
+    for comp in range(2):
+        acc = pr.mulmod(bz._ix(d_ntt, np.s_[:, 0]), bz._ix(rk, np.s_[0, comp]),
+                        tpk.p, tpk.mu, tpk.c64, lazy=True)
+        for j in range(1, k):
+            acc = pr.add_pair(acc, pr.mulmod(
+                bz._ix(d_ntt, np.s_[:, j]), bz._ix(rk, np.s_[j, comp]),
+                tpk.p, tpk.mu, tpk.c64, lazy=True))
+        accs.append(pr.barrett(acc, tpk.mu, tpk.p, x_max_bits=44))
+    want = bz._stack(accs, axis=1)
+    got = pbp.tail.relin_dot(d_ntt, rk)
+    assert _eq(got, want)
+
+    # mod_down: acc (B,2,k_key,n) canonical + ct01 (B,2,k,n)
+    acc_c = pr.to_pair(jnp.asarray(_rand_rows((B, 2, k_key), km)))
+    ct01 = pr.to_pair(jnp.asarray(_rand_rows((B, 2, k), G.q_mods)))
+    xP = bz._ix(acc_c, np.s_[..., k_key - 1, :])
+    P_scalar = (pbx.P[0][0, 0], pbx.P[1][0, 0])
+    xP_half = pr.addmod(xP, (pbx.P_half[0][0, 0], pbx.P_half[1][0, 0]),
+                        P_scalar)
+    corr = pr.submod(
+        pr.csub_reduce(bz._ix(xP_half, np.s_[..., None, :]), pbx.q_mods,
+                       pbx.steps_P_mod_q),
+        pbx.half_mod_q, pbx.q_mods)
+    ti = pr.submod(bz._ix(acc_c, np.s_[..., :k, :]), corr, pbx.q_mods)
+    res = pr.mulmod_shoup(ti, *pbx.inv_P_mod_q, pbx.q_mods)
+    want2 = pr.addmod(ct01, res, pbx.q_mods)
+    got2 = pbp.tail.mod_down(acc_c, ct01)
+    assert _eq(got2, want2)
