@@ -136,3 +136,41 @@ def test_relin_dot_and_mod_down(engines):
     want2 = pr.addmod(ct01, res, pbx.q_mods)
     got2 = pbp.tail.mod_down(acc_c, ct01)
     assert _eq(got2, want2)
+
+
+def test_floor_sk_n8192_preset():
+    """Different limb counts (k=3, nbsk=4) exercise every unrolled loop."""
+    from fhe_precompiles_tpu.params import BENCH_N8192
+    g8 = BfvContext(BENCH_N8192)
+    e_xla = JaxEngine(BENCH_N8192, golden=g8, ntt_backend="pair",
+                      pair_tail="xla")
+    e_pal = JaxEngine(BENCH_N8192, golden=g8, ntt_backend="pair",
+                      pair_tail="pallas-interpret")
+    pbx, pbp = e_xla._pairk, e_pal._pairk
+    mods = g8.q_mods + g8.Bsk
+    k = pbx.k
+    rng = np.random.default_rng(23)
+    tq = np.empty((1, 3, pbx.nb, g8.n), dtype=np.uint64)
+    for b in range(1):
+        for j in range(3):
+            for li, p in enumerate(mods):
+                tq[b, j, li] = rng.integers(0, p, size=g8.n,
+                                            dtype=np.uint64)
+    tqp = pr.to_pair(jnp.asarray(tq))
+    import fhe_precompiles_tpu.ops.behz_pair as bz
+    y = bz._ix(tqp, np.s_[..., :k, :])
+    conv = pbx._fastbconv(y, pbx.q_hat_mod_bsk, pbx.bsk, pbx.mu_bsk32, k)
+    num = pr.submod(bz._ix(tqp, np.s_[..., k:, :]), conv, pbx.bsk)
+    floor_bsk = pr.mulmod_shoup(num, *pbx.inv_q_mod_bsk, pbx.bsk)
+    want = pbx.fastbconv_sk(floor_bsk)
+    got = pbp.tail.floor_sk(tqp)
+    assert _eq(got, want)
+
+    a = np.empty((1, 2, k, g8.n), dtype=np.uint64)
+    for li, p in enumerate(g8.q_mods):
+        a[0, :, li] = rng.integers(0, p, size=(2, g8.n), dtype=np.uint64)
+    ap = pr.to_pair(jnp.asarray(a))
+    want2 = (jnp.concatenate([ap[0], pbx.to_bsk(ap)[0]], axis=-2),
+             jnp.concatenate([ap[1], pbx.to_bsk(ap)[1]], axis=-2))
+    got2 = pbp.tail.to_bsk_ext(ap)
+    assert _eq(got2, want2)
