@@ -67,6 +67,11 @@ class JaxEngine:
         "stage" elsewhere (CPU has real u64 registers, emulating them in
         u32 pairs would be a loss).  The Pallas/MXU formulation stays a
         measured negative result (benchmarks/RESULTS.md roofline notes).
+
+        pair_tail: "xla" (default via "auto") keeps the BEHZ tail as XLA
+        elementwise programs; "pallas" routes the inter-NTT segments
+        through the fused VMEM kernels of ops/pallas_tail.py (bit-exact;
+        "pallas-interpret" is the CPU test mode).
         """
         if ntt_backend == "auto":
             import jax as _jax
