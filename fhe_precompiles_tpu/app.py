@@ -109,6 +109,9 @@ class FheApp:
                 or self.private_key.params != params):
             raise FheError(FheErrorCode.INVALID_ENCODING,
                            "network key parameter set mismatch")
+        if engine not in ("golden", "jax"):
+            raise ValueError(f"unknown engine {engine!r} "
+                             "(expected 'golden' or 'jax')")
         self._engine_name = engine
         self._engine = None
         if engine == "jax":

@@ -8,6 +8,7 @@ pattern (testnet.rs:1-2 implies `one` -> future `two`).
 from __future__ import annotations
 
 import functools
+import os
 
 from .app import FheApp
 from .bfv.golden import BfvContext
@@ -25,7 +26,12 @@ class _TestnetOne:
 
     @functools.cached_property
     def FHE(self) -> FheApp:  # noqa: N802 - parity naming
-        return FheApp(self.PARAMS)
+        # FHE_TPU_ENGINE=jax switches the singleton (and therefore every
+        # C-ABI host) to the batched JAX/TPU engine; bytes are identical
+        # by the 49-op cross-engine consensus tests, so the flag is a
+        # pure serving choice.  Default stays the canonical golden model.
+        return FheApp(self.PARAMS,
+                      engine=os.environ.get("FHE_TPU_ENGINE", "golden"))
 
     def generate_keys(self):
         """Fresh user keypair under testnet-one params (testnet.rs:20-22)."""

@@ -302,3 +302,17 @@ def test_cross_process_determinism():
                              os.path.abspath(__file__))))
     assert out.returncode == 0, out.stderr[-500:]
     assert out.stdout.strip().splitlines()[-1] == here
+
+
+def test_singleton_engine_env_var(monkeypatch):
+    """FHE_TPU_ENGINE=jax flips the testnet singleton (and therefore every
+    C-ABI host) to the accelerated engine; invalid names fail loudly."""
+    from fhe_precompiles_tpu.testnet import _TestnetOne
+    monkeypatch.setenv("FHE_TPU_ENGINE", "jax")
+    t = _TestnetOne()
+    assert t.FHE._engine_name == "jax" and t.FHE._engine is not None
+    monkeypatch.delenv("FHE_TPU_ENGINE")
+    assert _TestnetOne().FHE._engine_name == "golden"
+    monkeypatch.setenv("FHE_TPU_ENGINE", "cuda")
+    with pytest.raises(ValueError):
+        _TestnetOne().FHE
