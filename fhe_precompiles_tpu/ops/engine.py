@@ -87,11 +87,14 @@ class JaxEngine:
         self.params = params
         self.pair_radix_log2 = pair_radix_log2
         if pair_tail == "auto":
-            # "pallas" = fused VMEM tail kernels (ops/pallas_tail.py);
-            # bit-exact, but NOT yet A/B-measured on a real chip (the
-            # tunnel died before the tailpallas run) -- auto stays on the
-            # measured XLA tail until tools/ab_bench.py tailpallas shows
-            # a win.  Flip here when it does.
+            # "pallas" = fused VMEM tail kernels (ops/pallas_tail.py).
+            # Measured on v5e (tools/ab_bench.py tailpallas, interleaved,
+            # bit-exact on device): 0.823x the XLA tail (10,020 vs 12,178
+            # mul+relin/s) -- the VMEM-residency bandwidth win is eaten by
+            # Mosaic lowering the u32-pair modmuls to full-width products
+            # (~1.5x the tail segment time), the same penalty that closed
+            # the Pallas NTT.  Auto therefore stays "xla"; the kernels are
+            # kept as an opt-in measured negative with tests.
             pair_tail = "xla"
         self.pair_tail = pair_tail
         g = golden if golden is not None else BfvContext(params)

@@ -26,6 +26,17 @@ Per-limb constants are baked into the kernel as Python immediates (limb
 loops are unrolled at trace time), so no scalar operands are streamed.
 Reference capability: SEAL Evaluator BEHZ tail (SURVEY.md section 2.2);
 the fused formulation is TPU-native design with no reference counterpart.
+
+MEASURED NEGATIVE (v5e, tools/ab_bench.py tailpallas, interleaved,
+bit-exact on device): 0.823x end-to-end vs the XLA tail (10,020 vs
+12,178 mul+relin/s at n=4096/B=128).  The HBM passes saved are real,
+but Mosaic lowers every u32-pair cross-multiply to full-width 32x32
+products (no 16x16 narrowing like XLA's fusion of the split arithmetic),
+making the tail segment ~1.5x slower in compute than the multi-pass XLA
+version is in bandwidth -- the same structural penalty that closed the
+VMEM NTT (ops/pallas_pair_ntt.py).  Kept as an opt-in
+(``JaxEngine(pair_tail="pallas")``) with full bit-exactness tests; the
+default stays "xla".  Do not retry without a Mosaic narrowing primitive.
 """
 from __future__ import annotations
 
@@ -110,10 +121,13 @@ class PairTailPallas:
             hi, _ = _pad_rows(hi, tb)
             flat += [lo, hi]
         rows_p = flat[0].shape[0]
+        # index_map zeros as 0 * bt: literal 0 lowers to i64 under x64 and
+        # Mosaic rejects the (i32, i64, i64) index tuple (func.return
+        # legalization failure on real TPU; interpret mode never sees it)
         in_specs = [
-            pl.BlockSpec((tb, x.shape[1], n), lambda bt: (bt, 0, 0))
+            pl.BlockSpec((tb, x.shape[1], n), lambda bt: (bt, 0 * bt, 0 * bt))
             for x in flat]
-        ospec = pl.BlockSpec((tb, c_out, n), lambda bt: (bt, 0, 0))
+        ospec = pl.BlockSpec((tb, c_out, n), lambda bt: (bt, 0 * bt, 0 * bt))
         out = pl.pallas_call(
             kern,
             grid=(rows_p // tb,),
@@ -375,10 +389,12 @@ class PairTailPallas:
         dlo, rows0 = _pad_rows(din[0], tb)
         dhi, _ = _pad_rows(din[1], tb)
         rows_p = dlo.shape[0]
-        dspec = pl.BlockSpec((tb, k * k_key, n), lambda bt: (bt, 0, 0))
+        dspec = pl.BlockSpec((tb, k * k_key, n),
+                             lambda bt: (bt, 0 * bt, 0 * bt))
         rspec = pl.BlockSpec((1, k * 2 * k_key, n),
-                             lambda bt: (0 * bt, 0, 0))
-        ospec = pl.BlockSpec((tb, 2 * k_key, n), lambda bt: (bt, 0, 0))
+                             lambda bt: (0 * bt, 0 * bt, 0 * bt))
+        ospec = pl.BlockSpec((tb, 2 * k_key, n),
+                             lambda bt: (bt, 0 * bt, 0 * bt))
         out = pl.pallas_call(
             self._relin_dot_kern,
             grid=(rows_p // tb,),

@@ -6,10 +6,13 @@ Usage: python tools/ab_bench.py [ntt] [mul] [trials=N]
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):
