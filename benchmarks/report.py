@@ -108,21 +108,24 @@ def main():
     eng = JaxEngine(TESTNET_ONE, golden=ctx)
     pk, sk = ctx.generate_keys(seed=b"\x42" * 64)
     rk = jnp.asarray(pk.relin.data)
+    # per-key relin Shoup table (engine.relin_shoup): the serving default
+    rk_ws = jnp.asarray(eng.relin_shoup(pk.relin.data))
     B = 32 if quick else 128
     a = jnp.asarray(rand_ct_batch(ctx, B, rng))
     # distinct operands: a squaring chain lets XLA CSE the two operands'
     # forward transforms and overstates general throughput by ~30%
     dt = chain_time(lambda c: eng._mul_relin.__wrapped__(
-        c, jnp.roll(c, 1, axis=0), rk)[:, :2], a)
+        c, jnp.roll(c, 1, axis=0), rk, rk_ws)[:, :2], a)
     emit("bfv_mul_relin_n4096_ops_per_sec", B / dt, "ops/s/chip", 1000.0)
-    dt = chain_time(lambda c: eng._mul_relin.__wrapped__(c, c, rk)[:, :2], a)
+    dt = chain_time(lambda c: eng._mul_relin.__wrapped__(
+        c, c, rk, rk_ws)[:, :2], a)
     emit("bfv_mul_relin_square_n4096_ops_per_sec", B / dt, "ops/s/chip")
 
     ct3 = eng._multiply(a, a)
     jax.block_until_ready(ct3)
 
     def ks_step(c):
-        out = eng._relinearize.__wrapped__(c, rk)        # (B, 2, k, n)
+        out = eng._relinearize.__wrapped__(c, rk, rk_ws)  # (B, 2, k, n)
         return jnp.concatenate([out, out[:, :1]], axis=1)
     dt = chain_time(ks_step, ct3)
     emit("bfv_keyswitch_n4096_ops_per_sec", B / dt, "ops/s/chip")

@@ -283,8 +283,16 @@ class PairBehz:
         floor_bsk = pr.mulmod_shoup(num, *self.inv_q_mod_bsk, self.bsk)
         return self.fastbconv_sk(floor_bsk)
 
-    def relinearize(self, ct3: Pair, rk: Pair) -> Pair:
-        """(B, 3, k, n) + rk (k, 2, k_key, n) -> (B, 2, k, n)."""
+    def relinearize(self, ct3: Pair, rk: Pair,
+                    rk_ws: Pair | None = None) -> Pair:
+        """(B, 3, k, n) + rk (k, 2, k_key, n) -> (B, 2, k, n).
+
+        rk_ws (optional): floor(rk * 2**64 / p_key) precomputed host-side
+        once per relin key (JaxEngine.relin_shoup).  With it, each inner-
+        product term is a Shoup multiply (20 native muls, lazy < 3p)
+        instead of a general Barrett modmul (25 muls, lazy < 2p) -- a 20%
+        arithmetic cut on the relin dot at identical results (both are
+        exact |d*rk|_p composed through the same lazy accumulation)."""
         k, k_key = self.k, self.k_key
         c2 = _ix(ct3, np.s_[:, 2])
         d = pr.csub_reduce(_ix(c2, np.s_[:, :, None, :]), self.key_mods,
@@ -293,6 +301,20 @@ class PairBehz:
         tpk = self.tp_key
         if self.tail is not None:
             acc_ntt = self.tail.relin_dot(d_ntt, rk)
+        elif rk_ws is not None:
+            accs = []
+            for comp in range(2):
+                acc = pr.mulmod_shoup(_ix(d_ntt, np.s_[:, 0]),
+                                      _ix(rk, np.s_[0, comp]),
+                                      _ix(rk_ws, np.s_[0, comp]),
+                                      tpk.p, lazy=True)
+                for j in range(1, k):
+                    acc = pr.add_pair(acc, pr.mulmod_shoup(
+                        _ix(d_ntt, np.s_[:, j]), _ix(rk, np.s_[j, comp]),
+                        _ix(rk_ws, np.s_[j, comp]), tpk.p, lazy=True))
+                # k lazy 3p-products: sum < 3*k*p < 2**41
+                accs.append(pr.barrett(acc, tpk.mu, tpk.p, x_max_bits=44))
+            acc_ntt = _stack(accs, axis=1)
         else:
             accs = []
             for comp in range(2):

@@ -273,6 +273,9 @@ class JaxEngine:
         self.steps_msk_mod_q = max((g.m_sk - 1) // p for p in g.q_mods)
         self.steps_t_mod_q = max((params.t - 1) // p for p in g.q_mods)
 
+        # digest-keyed per-relin-key Shoup tables (see relin_shoup)
+        self._relin_shoup_cache: dict = {}
+
 
     @functools.cached_property
     def _pairk(self):
@@ -473,14 +476,17 @@ class JaxEngine:
             from .pair import from_pair, to_pair
             pb = self._pairk
 
-            def fp(fa, fb, rk):
+            def fp(fa, fb, rk, rk_ws=None):
                 out = pb.relinearize(pb.mul_core(to_pair(fa), to_pair(fb)),
-                                     to_pair(rk))
+                                     to_pair(rk),
+                                     None if rk_ws is None else
+                                     to_pair(rk_ws))
                 return from_pair(out)
             return jax.jit(fp)
 
-        def f(fa, fb, rk):
-            return self._relinearize.__wrapped__(self._mul_core(fa, fb), rk)
+        def f(fa, fb, rk, rk_ws=None):
+            return self._relinearize.__wrapped__(self._mul_core(fa, fb), rk,
+                                                 rk_ws)
         return jax.jit(f)
 
     @functools.cached_property
@@ -509,23 +515,36 @@ class JaxEngine:
             from .pair import from_pair, to_pair
             pb = self._pairk
 
-            def fp(ct3, rk):
-                return from_pair(pb.relinearize(to_pair(ct3), to_pair(rk)))
+            def fp(ct3, rk, rk_ws=None):
+                return from_pair(pb.relinearize(
+                    to_pair(ct3), to_pair(rk),
+                    None if rk_ws is None else to_pair(rk_ws)))
             return jax.jit(fp)
 
-        def f(ct3, rk):
-            """(B, 3, k, n) + rk (k, 2, k_key, n) -> (B, 2, k, n)."""
+        def f(ct3, rk, rk_ws=None):
+            """(B, 3, k, n) + rk (k, 2, k_key, n) -> (B, 2, k, n).
+
+            rk_ws: optional per-key Shoup table (relin_shoup); turns the
+            inner-product modmuls into cheaper Shoup multiplies with
+            identical results."""
             c2 = ct3[:, 2]                                       # (B, k, n)
             # lift every decomp digit mod every key prime: (B, k, k_key, n)
             d = csub_reduce(c2[:, :, None, :], self.key_mods,
                             self.steps_ct_mod_key)
             d_ntt = self._ntt_key(d)
             pk_, mu_ = self.key_mods, self.mu_key
-            acc0 = mulmod(d_ntt[:, 0], rk[0, 0], pk_, mu_)
-            acc1 = mulmod(d_ntt[:, 0], rk[0, 1], pk_, mu_)
+            if rk_ws is not None:
+                def prod(j, c):
+                    return mulmod_shoup(d_ntt[:, j], rk[j, c], rk_ws[j, c],
+                                        pk_)
+            else:
+                def prod(j, c):
+                    return mulmod(d_ntt[:, j], rk[j, c], pk_, mu_)
+            acc0 = prod(0, 0)
+            acc1 = prod(0, 1)
             for j in range(1, self.k):
-                acc0 = addmod(acc0, mulmod(d_ntt[:, j], rk[j, 0], pk_, mu_), pk_)
-                acc1 = addmod(acc1, mulmod(d_ntt[:, j], rk[j, 1], pk_, mu_), pk_)
+                acc0 = addmod(acc0, prod(j, 0), pk_)
+                acc1 = addmod(acc1, prod(j, 1), pk_)
             acc = self._intt_key(jnp.stack([acc0, acc1], axis=1))
             # divide by the special prime with rounding
             P, half = jnp.uint64(self.P), jnp.uint64(self.P >> 1)
@@ -546,16 +565,46 @@ class JaxEngine:
             from .pair import from_pair, to_pair
             pb = self._pairk
 
-            def fp(a, b, rk):
+            def fp(a, b, rk, rk_ws=None):
                 ct3 = pb.mul_core(pb.prepare(to_pair(a)),
                                   pb.prepare(to_pair(b)))
-                return from_pair(pb.relinearize(ct3, to_pair(rk)))
+                return from_pair(pb.relinearize(
+                    ct3, to_pair(rk),
+                    None if rk_ws is None else to_pair(rk_ws)))
             return jax.jit(fp)
 
-        def f(a, b, rk):
+        def f(a, b, rk, rk_ws=None):
             return self._relinearize.__wrapped__(
-                self._multiply.__wrapped__(a, b), rk)
+                self._multiply.__wrapped__(a, b), rk, rk_ws)
         return jax.jit(f)
+
+    # ------------------------------------------------------------------
+    # per-key Shoup table for the relin inner product
+    # ------------------------------------------------------------------
+    def relin_shoup(self, rk_data) -> np.ndarray:
+        """floor(rk * 2**64 / p_key) elementwise, cached per key digest.
+
+        rk_data: (k, 2, k_key, n) uint64 relin-key array in NTT form with
+        CANONICAL residues (< p_key per limb row) -- true for golden
+        keygen and for reference-loaded SEAL keys.  Computed once per
+        distinct key on the host (~98k bigint divisions, tens of ms) and
+        reused by every subsequent relinearization with that key; the
+        device-side saving is 5 native multiplies per inner-product term
+        (mulmod_shoup vs general mulmod in ops/pair.py).
+        """
+        rk_np = np.asarray(rk_data, dtype=np.uint64)
+        import hashlib
+        key = hashlib.blake2b(rk_np.tobytes(), digest_size=16).digest()
+        hit = self._relin_shoup_cache.get(key)
+        if hit is not None:
+            return hit
+        p = np.asarray(self.golden.key_mods,
+                       dtype=np.uint64).reshape(1, 1, -1, 1)
+        ws = shoup_precompute(rk_np, p)
+        if len(self._relin_shoup_cache) >= 16:
+            self._relin_shoup_cache.pop(next(iter(self._relin_shoup_cache)))
+        self._relin_shoup_cache[key] = ws
+        return ws
 
     # ==================================================================
     # batched RNS decryption (t-gamma scale-and-round, exact for valid cts)
@@ -688,7 +737,8 @@ class JaxEngine:
         if ct.size != 3:
             raise ValueError("relinearize expects a size-3 ciphertext")
         out = self._relinearize(jnp.asarray(ct.data)[None],
-                                jnp.asarray(rk.data))
+                                jnp.asarray(rk.data),
+                                jnp.asarray(self.relin_shoup(rk.data)))
         return self._wrap(out[0])
 
     def mul_relin(self, a: Ciphertext, b: Ciphertext,
@@ -697,7 +747,8 @@ class JaxEngine:
             raise ValueError("multiply expects size-2 ciphertexts")
         out = self._mul_relin(jnp.asarray(a.data)[None],
                               jnp.asarray(b.data)[None],
-                              jnp.asarray(rk.data))
+                              jnp.asarray(rk.data),
+                              jnp.asarray(self.relin_shoup(rk.data)))
         return self._wrap(out[0])
 
     # ------------------------------------------------------------------

@@ -62,11 +62,13 @@ class RequestStream:
         for i, r in enumerate(requests):
             groups.setdefault(r.op, []).append(i)
         results: List[Optional[np.ndarray]] = [None] * len(requests)
-        rk = None
+        rk = rk_ws = None
         if any(op == "mul" for op in groups):
             if pk.relin is None:
                 raise ValueError("mul requests need relin keys in the pk")
             rk = self._replicate(jnp.asarray(pk.relin.data))
+            rk_ws = self._replicate(
+                jnp.asarray(eng.relin_shoup(pk.relin.data)))
         dp = self.mesh.shape["dp"] if self.mesh is not None else 1
         for op, idxs in groups.items():
             for c0 in range(0, len(idxs), self.max_batch):
@@ -79,20 +81,22 @@ class RequestStream:
                     b_np = np.concatenate([b_np, np.repeat(b_np[:1], pad, 0)])
                 a = self._place(jnp.asarray(a_np))
                 b = self._place(jnp.asarray(b_np))
-                out = self._dispatch(op, a, b, rk)
+                out = self._dispatch(op, a, b, rk, rk_ws)
                 host = np.asarray(jax.device_get(out))
                 for slot, i in enumerate(chunk):
                     results[i] = host[slot]
         return results  # type: ignore[return-value]
 
-    def _dispatch(self, op: str, a, b, rk):
+    def _dispatch(self, op: str, a, b, rk, rk_ws=None):
         eng = self.engine
         if op == "add":
             return eng._add(a, b)
         if op == "sub":
             return eng._sub(a, b)
         if op == "mul":
-            return eng._mul_relin(a, b, rk)
+            # rk_ws: per-key Shoup table (engine.relin_shoup) -- cheaper
+            # relin inner product, identical bytes
+            return eng._mul_relin(a, b, rk, rk_ws)
         raise ValueError(f"unknown op {op!r}")
 
     def run_pooled(self, ops: Sequence[str], idx_pairs: np.ndarray,
@@ -105,11 +109,13 @@ class RequestStream:
         rather than host-link bandwidth.
         """
         pool = jnp.asarray(ct_pool)                     # (P, 2, k, n)
-        rk = None
+        rk = rk_ws = None
         if "mul" in ops:
             if pk.relin is None:
                 raise ValueError("mul requests need relin keys in the pk")
             rk = self._replicate(jnp.asarray(pk.relin.data))
+            rk_ws = self._replicate(
+                jnp.asarray(self.engine.relin_shoup(pk.relin.data)))
         order: dict[str, list[int]] = {}
         for i, op in enumerate(ops):
             order.setdefault(op, []).append(i)
@@ -121,7 +127,8 @@ class RequestStream:
                 ib = jnp.asarray(np.array([idx_pairs[i][1] for i in chunk]))
                 a = jnp.take(pool, ia, axis=0)
                 b = jnp.take(pool, ib, axis=0)
-                batches.append((chunk, self._dispatch(op, a, b, rk)))
+                batches.append((chunk, self._dispatch(op, a, b, rk,
+                                                      rk_ws)))
         jax.block_until_ready([b for _, b in batches])
         return batches
 
@@ -135,7 +142,7 @@ class RequestStream:
         CB = self.max_batch
 
         def make(op, prepared=False):
-            def fused(pool, ia, ib, rk):
+            def fused(pool, ia, ib, rk, rk_ws):
                 if prepared:
                     # pool ciphertexts are reused across the stream: run
                     # the operand-independent BEHZ half (Bsk lift +
@@ -152,9 +159,9 @@ class RequestStream:
                 def body(_, ab):
                     if prepared:
                         out = eng._mul_relin_prepared.__wrapped__(
-                            ab[0], ab[1], rk)
+                            ab[0], ab[1], rk, rk_ws)
                     else:
-                        out = self._dispatch(op, ab[0], ab[1], rk)
+                        out = self._dispatch(op, ab[0], ab[1], rk, rk_ws)
                     return 0, out
                 _, outs = jax.lax.scan(body, 0, (a, b))
                 return outs.reshape((nc * CB,) + outs.shape[2:])
@@ -172,6 +179,9 @@ class RequestStream:
             raise ValueError("mul requests need relin keys in the pk")
         rk = (self._replicate(jnp.asarray(pk.relin.data))
               if "mul" in ops else jnp.zeros((1,), jnp.uint64))
+        rk_ws = (self._replicate(
+            jnp.asarray(self.engine.relin_shoup(pk.relin.data)))
+            if "mul" in ops else jnp.zeros((1,), jnp.uint64))
         order: dict[str, list[int]] = {}
         for i, op in enumerate(ops):
             order.setdefault(op, []).append(i)
@@ -188,7 +198,7 @@ class RequestStream:
                 # multiplies; for huge pools with few requests, skip it
                 key = "mul_prepared"
             outs = self._fused_ops[key](pool, jnp.asarray(ia),
-                                        jnp.asarray(ib), rk)
+                                        jnp.asarray(ib), rk, rk_ws)
             out[op] = (idxs, outs[:M])
         jax.block_until_ready([v for _, v in out.values()])
         return out

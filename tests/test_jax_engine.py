@@ -141,6 +141,40 @@ def test_mul_relin_bitexact_at_n8192_preset(backend):
     assert np.array_equal(got.data, want.data)
 
 
+def test_relin_shoup_table_bitexact(ctx, eng, keys, cts):
+    """The per-key Shoup table path (relin_shoup + rk_ws argument) is
+    byte-identical to the general-modmul relin path on both backends.
+
+    The single-item API passes rk_ws automatically; here both jit
+    signatures are exercised explicitly, plus the prepared-operand path.
+    """
+    import jax.numpy as jnp
+    pk, _ = keys
+    a, b = cts
+    rk = jnp.asarray(pk.relin.data)
+    rk_ws_np = eng.relin_shoup(pk.relin.data)
+    # exactness of the host table itself
+    p = np.asarray(ctx.key_mods, dtype=np.uint64).reshape(1, 1, -1, 1)
+    i = (0, 1, 2, 7)
+    assert int(rk_ws_np[0, 1, 2, 7]) == (
+        int(pk.relin.data[i]) << 64) // int(p[0, 0, 2, 0])
+    # cache hit returns the same array
+    assert eng.relin_shoup(pk.relin.data) is rk_ws_np
+    rk_ws = jnp.asarray(rk_ws_np)
+    aj = jnp.asarray(a.data)[None]
+    bj = jnp.asarray(b.data)[None]
+    base = np.asarray(eng._mul_relin(aj, bj, rk))
+    fast = np.asarray(eng._mul_relin(aj, bj, rk, rk_ws))
+    assert np.array_equal(base, fast)
+    ct3 = jnp.asarray(ctx.multiply(a, b).data)[None]
+    assert np.array_equal(np.asarray(eng._relinearize(ct3, rk)),
+                          np.asarray(eng._relinearize(ct3, rk, rk_ws)))
+    fa, fb = eng._prepare(aj), eng._prepare(bj)
+    assert np.array_equal(
+        np.asarray(eng._mul_relin_prepared(fa, fb, rk)),
+        np.asarray(eng._mul_relin_prepared(fa, fb, rk, rk_ws)))
+
+
 def test_prepared_multiply_bitexact(ctx, eng, keys, cts):
     """prepare + _mul_relin_prepared == direct mul_relin, bit-for-bit."""
     import jax.numpy as jnp

@@ -61,7 +61,7 @@ def main():
             trials = int(a.split("=")[1])
     named = any(a in ("ntt", "mul", "shoup", "mulshoup", "radix", "tail",
                       "mulradix", "pallasntt", "hi8", "bsize", "mxu16k",
-                      "tailpallas")
+                      "tailpallas", "relinshoup")
                 for a in args)
     do_ntt = "ntt" in args or not named
     do_mul = "mul" in args or not named
@@ -462,6 +462,43 @@ def main():
         for name, dt in res.items():
             log(f"{name}: {dt*1e3:.2f} ms/batch = {B/dt:,.0f} mul+relin/s")
         log(f"40/64 speedup: {res['mul_pair64']/res['mul_pair40']:.3f}x")
+
+    if "relinshoup" in args:
+        # per-key Shoup table for the relin inner product (rk_ws) vs the
+        # general-modmul relin dot, full mul+relin, interleaved
+        eng = JaxEngine(TESTNET_ONE, golden=ctx, ntt_backend="pair")
+        pk, sk = ctx.generate_keys(seed=b"\x42" * 64)
+        rk = jnp.asarray(pk.relin.data)
+        rk_ws = jnp.asarray(eng.relin_shoup(pk.relin.data))
+        B = 128
+        a = jnp.asarray(np.stack([
+            np.stack([rng.integers(0, p, size=(n,), dtype=np.uint64)
+                      for p in ctx.q_mods]) for _ in range(2 * B)
+        ]).reshape(B, 2, len(ctx.q_mods), n))
+
+        def mk(ws):
+            def step(c):
+                return eng._mul_relin.__wrapped__(
+                    c, jnp.roll(c, 1, axis=0), rk, ws)[:, :2]
+            return step
+
+        @jax.jit
+        def _equal(c):
+            return jnp.all(mk(None)(c) == mk(rk_ws)(c))
+        assert bool(_equal(a)), "rk_ws relin != general relin"
+        log("bit-exact on device: ok")
+
+        K_LO, K_HI = 4, 24
+        fns = {}
+        for name, ws in (("general", None), ("shoup", rk_ws)):
+            st = mk(ws)
+            fns[f"mul_{name}"] = (chain(st, a, K_LO), chain(st, a, K_HI),
+                                  K_LO, K_HI, a)
+        res = slope(fns, trials)
+        for name, dt in res.items():
+            log(f"{name}: {dt*1e3:.2f} ms/batch = {B/dt:,.0f} mul+relin/s")
+        log(f"shoup/general speedup: "
+            f"{res['mul_general']/res['mul_shoup']:.3f}x")
 
     if do_mul:
         engs = {"stage": JaxEngine(TESTNET_ONE, golden=ctx,
