@@ -89,7 +89,10 @@ class FheApp:
     """Precompile runtime bound to one parameter set + the network keypair.
 
     Mirrors ``FheApp`` (fhe.rs:56-131).  `engine` selects the compute
-    backend ("golden" CPU reference or "jax" for the TPU path).
+    backend: "golden" (canonical numpy reference), "jax" (batched TPU
+    path), or "native" (C++ host engine, the SEAL-analog for CPU
+    validators) -- all three emit byte-identical ciphertexts
+    (tests/test_consensus_49.py).
     """
 
     def __init__(self, params: Params,
@@ -109,14 +112,17 @@ class FheApp:
                 or self.private_key.params != params):
             raise FheError(FheErrorCode.INVALID_ENCODING,
                            "network key parameter set mismatch")
-        if engine not in ("golden", "jax"):
+        if engine not in ("golden", "jax", "native"):
             raise ValueError(f"unknown engine {engine!r} "
-                             "(expected 'golden' or 'jax')")
+                             "(expected 'golden', 'jax' or 'native')")
         self._engine_name = engine
         self._engine = None
         if engine == "jax":
             from .ops.engine import JaxEngine
             self._engine = JaxEngine(params)
+        elif engine == "native":
+            from .native.engine import NativeEngine
+            self._engine = NativeEngine(params, golden=self.ctx)
 
     # ------------------------------------------------------------------
     # key generation (fhe.rs:133-136; galois keys stripped per fhe.rs:34-44)

@@ -1,0 +1,221 @@
+"""NativeEngine: ctypes binding for the C++ host engine (host_engine.cpp).
+
+The framework's third compute engine (after the golden numpy model and the
+JAX/TPU engine): SEAL-class C++ kernels for CPU validators, bit-identical to
+``bfv/golden.py`` (tests/test_native_engine.py).  Implements the FheApp
+engine protocol (same method surface as ``ops.engine.JaxEngine``), so
+``FheApp(params, engine="native")`` serves the full 49-op byte path.
+
+Division of labor: polynomial/RNS math runs in C++ (the part SEAL does in
+C++ for the reference); sampling (Blake2b XOF) and serialization stay in
+Python -- hashlib is already C-speed and both are consensus-pinned there.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+from ..bfv.golden import BfvContext, Ciphertext, PublicKey, RelinKeys, SecretKey
+from ..params import Params
+from ..sampling import (Blake2Xof, DOMAIN_ERROR, DOMAIN_TERNARY, sample_cbd,
+                        sample_ternary)
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+LIB_PATH = os.path.join(_DIR, "libhost_engine.so")
+
+_U64P = ctypes.POINTER(ctypes.c_uint64)
+_I64P = ctypes.POINTER(ctypes.c_int64)
+
+
+def build(force: bool = False) -> str:
+    """Compile libhost_engine.so (idempotent); returns its path."""
+    src = os.path.join(_DIR, "host_engine.cpp")
+    if force or not os.path.exists(LIB_PATH) or (
+            os.path.getmtime(LIB_PATH) < os.path.getmtime(src)):
+        subprocess.run(["make", "-C", _DIR, "libhost_engine.so"], check=True,
+                       capture_output=True)
+    return LIB_PATH
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(build())
+        lib.he_ctx_new.restype = ctypes.c_void_p
+        lib.he_ctx_new.argtypes = [
+            ctypes.c_uint64, ctypes.c_uint64,
+            _U64P, ctypes.c_uint64, _U64P, ctypes.c_uint64,
+            _U64P, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64]
+        lib.he_ctx_free.argtypes = [ctypes.c_void_p]
+        for name, args in {
+            "he_add": [ctypes.c_void_p, _U64P, _U64P, ctypes.c_uint64, _U64P],
+            "he_sub": [ctypes.c_void_p, _U64P, _U64P, ctypes.c_uint64, _U64P],
+            "he_neg": [ctypes.c_void_p, _U64P, ctypes.c_uint64, _U64P],
+            "he_plain_affine": [ctypes.c_void_p, _U64P, ctypes.c_uint64,
+                                _U64P, ctypes.c_int, _U64P],
+            "he_mul_plain": [ctypes.c_void_p, _U64P, ctypes.c_uint64,
+                             _U64P, _U64P],
+            "he_encrypt": [ctypes.c_void_p, _U64P, _I64P, _I64P, _I64P,
+                           _U64P, ctypes.c_uint64, _U64P],
+            "he_decrypt": [ctypes.c_void_p, _U64P, ctypes.c_uint64,
+                           _U64P, _U64P],
+            "he_multiply": [ctypes.c_void_p, _U64P, _U64P, _U64P],
+            "he_relinearize": [ctypes.c_void_p, _U64P, _U64P, _U64P],
+        }.items():
+            fn = getattr(lib, name)
+            fn.argtypes = args
+            fn.restype = None
+        _lib = lib
+    return _lib
+
+
+def _u64p(a: np.ndarray):
+    return a.ctypes.data_as(_U64P)
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(_I64P)
+
+
+def _c(a: np.ndarray, dtype=np.uint64) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=dtype)
+
+
+class NativeEngine:
+    """C++ host engine bound to one parameter set (FheApp engine protocol)."""
+
+    def __init__(self, params: Params, golden: Optional[BfvContext] = None):
+        self.params = params
+        self.golden = golden if golden is not None else BfvContext(params)
+        g = self.golden
+        self.n, self.k, self.k_key = g.n, g.k, g.k_key
+        if tuple(g.key_mods[:g.k]) != tuple(g.q_mods):
+            raise ValueError("ct moduli must be a prefix of key moduli")
+        lib = _load()
+        qm = _c(np.array(g.q_mods))
+        km = _c(np.array(g.key_mods))
+        aux = _c(np.array(g.B))
+        self._ctx = lib.he_ctx_new(
+            g.n, g.t, _u64p(qm), len(g.q_mods), _u64p(km), len(g.key_mods),
+            _u64p(aux), len(g.B), g.m_sk, g.m_tilde)
+        if not self._ctx:
+            raise ValueError(
+                "parameter set outside the native engine's supported range "
+                "(k <= 4 limbs, moduli < 2**37, q < 2**122)")
+        self._lib = lib
+
+    def __del__(self):
+        ctx = getattr(self, "_ctx", None)
+        if ctx:
+            self._lib.he_ctx_free(ctx)
+            self._ctx = None
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+    def _wrap(self, data: np.ndarray) -> Ciphertext:
+        return Ciphertext(self.params, data)
+
+    def _out(self, size: int) -> np.ndarray:
+        return np.empty((size, self.k, self.n), dtype=np.uint64)
+
+    def _plain(self, m: np.ndarray) -> np.ndarray:
+        return _c(np.asarray(m))
+
+    # ------------------------------------------------------------------
+    # homomorphic ops (bit-identical to BfvContext methods)
+    # ------------------------------------------------------------------
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        out = self._out(a.size)
+        self._lib.he_add(self._ctx, _u64p(_c(a.data)), _u64p(_c(b.data)),
+                         a.size, _u64p(out))
+        return self._wrap(out)
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        out = self._out(a.size)
+        self._lib.he_sub(self._ctx, _u64p(_c(a.data)), _u64p(_c(b.data)),
+                         a.size, _u64p(out))
+        return self._wrap(out)
+
+    def negate(self, a: Ciphertext) -> Ciphertext:
+        out = self._out(a.size)
+        self._lib.he_neg(self._ctx, _u64p(_c(a.data)), a.size, _u64p(out))
+        return self._wrap(out)
+
+    def _affine(self, a: Ciphertext, plain: np.ndarray, mode: int) -> Ciphertext:
+        out = self._out(a.size)
+        self._lib.he_plain_affine(self._ctx, _u64p(_c(a.data)), a.size,
+                                  _u64p(self._plain(plain)), mode, _u64p(out))
+        return self._wrap(out)
+
+    def add_plain(self, a: Ciphertext, plain: np.ndarray) -> Ciphertext:
+        return self._affine(a, plain, 0)
+
+    def sub_plain(self, a: Ciphertext, plain: np.ndarray) -> Ciphertext:
+        return self._affine(a, plain, 1)
+
+    def plain_sub(self, plain: np.ndarray, a: Ciphertext) -> Ciphertext:
+        return self._affine(a, plain, 2)
+
+    def mul_plain(self, a: Ciphertext, plain: np.ndarray) -> Ciphertext:
+        out = self._out(a.size)
+        self._lib.he_mul_plain(self._ctx, _u64p(_c(a.data)), a.size,
+                               _u64p(self._plain(plain)), _u64p(out))
+        return self._wrap(out)
+
+    def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        if a.size != 2 or b.size != 2:
+            raise ValueError("multiply expects size-2 ciphertexts")
+        out = self._out(3)
+        self._lib.he_multiply(self._ctx, _u64p(_c(a.data)),
+                              _u64p(_c(b.data)), _u64p(out))
+        return self._wrap(out)
+
+    def relinearize(self, ct: Ciphertext, rk: RelinKeys) -> Ciphertext:
+        if ct.size != 3:
+            raise ValueError("relinearize expects a size-3 ciphertext")
+        out = self._out(2)
+        self._lib.he_relinearize(self._ctx, _u64p(_c(ct.data)),
+                                 _u64p(_c(rk.data)), _u64p(out))
+        return self._wrap(out)
+
+    def mul_relin(self, a: Ciphertext, b: Ciphertext,
+                  rk: RelinKeys) -> Ciphertext:
+        return self.relinearize(self.multiply(a, b), rk)
+
+    # ------------------------------------------------------------------
+    # threshold-API protocol (host sampling, native polynomial math)
+    # ------------------------------------------------------------------
+    def encrypt(self, plain: np.ndarray, pk: PublicKey,
+                seed: bytes) -> Ciphertext:
+        n = self.n
+        u = sample_ternary(Blake2Xof(seed, DOMAIN_TERNARY), n)
+        xof_e = Blake2Xof(seed, DOMAIN_ERROR)
+        e0 = sample_cbd(xof_e, n)
+        e1 = sample_cbd(xof_e, n)
+        return self.encrypt_with_randomness(plain, pk, u, e0, e1)
+
+    def encrypt_with_randomness(self, plain: np.ndarray, pk: PublicKey,
+                                u: np.ndarray, e0: np.ndarray,
+                                e1: np.ndarray) -> Ciphertext:
+        out = self._out(2)
+        self._lib.he_encrypt(
+            self._ctx, _u64p(self._plain(plain)),
+            _i64p(_c(u, np.int64)), _i64p(_c(e0, np.int64)),
+            _i64p(_c(e1, np.int64)),
+            _u64p(_c(pk.data)), pk.data.shape[1], _u64p(out))
+        return self._wrap(out)
+
+    def decrypt(self, ct: Ciphertext, sk: SecretKey) -> np.ndarray:
+        out = np.empty(self.n, dtype=np.uint64)
+        s_ntt = _c(sk.s_ntt[:self.k])
+        self._lib.he_decrypt(self._ctx, _u64p(_c(ct.data)), ct.size,
+                             _u64p(s_ntt), _u64p(out))
+        return out

@@ -1,4 +1,4 @@
-"""Full 49-op byte-path consensus: FheApp(engine="jax") vs golden.
+"""Full 49-op byte-path consensus: FheApp(engine="jax"/"native") vs golden.
 
 The consensus claim (app.py: "TPU and CPU validators stay in byte
 consensus") requires every PRECOMPILE_NAMES entry -- not just a sample --
@@ -19,9 +19,9 @@ SCALARS = {"u256": pack.U256, "u64": pack.U64, "i64": pack.I64,
            "frac64": pack.FRAC64}
 
 
-@pytest.fixture(scope="module")
-def jax_app():
-    return FheApp(FHE.params, engine="jax")
+@pytest.fixture(scope="module", params=["jax", "native"])
+def accel_app(request):
+    return FheApp(FHE.params, engine=request.param)
 
 
 @pytest.fixture(scope="module")
@@ -70,13 +70,13 @@ def _inputs_for(name, user_keys):
 
 
 @pytest.mark.parametrize("name", PRECOMPILE_NAMES)
-def test_op_byte_consensus(jax_app, user_keys, name):
+def test_op_byte_consensus(accel_app, user_keys, name):
     if name == "public_key_bytes":
         data = b""
     else:
         data = _inputs_for(name, user_keys)
     code_g, out_g = FHE.call(name, data)
-    code_j, out_j = jax_app.call(name, data)
+    code_j, out_j = accel_app.call(name, data)
     assert code_g == 0, f"{name}: golden failed with {code_g}"
     assert code_j == 0, f"{name}: jax failed with {code_j}"
     assert out_g == out_j, f"{name}: byte divergence between engines"

@@ -1,0 +1,116 @@
+"""Native C++ host engine (native/host_engine.cpp) vs the golden model.
+
+The native engine is the framework's SEAL analog: standalone C++ BFV
+kernels for CPU validators, required to be bit-identical to bfv/golden.py
+on every op.  These tests pin that contract op-by-op on random data,
+including the non-default n=8192 / BENCH_N1024 presets (the engine derives
+all BEHZ/CRT constants itself, so preset coverage exercises its derivation
+code, not just TESTNET_ONE's baked values).
+
+Reference analog: SEAL's own evaluator tests; fhe.rs:1024-2338 breadth.
+"""
+import numpy as np
+import pytest
+
+from fhe_precompiles_tpu.bfv.golden import BfvContext
+from fhe_precompiles_tpu.native.engine import NativeEngine
+from fhe_precompiles_tpu.params import BENCH_N1024, BENCH_N8192, TESTNET_ONE
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ctx = BfvContext(TESTNET_ONE)
+    eng = NativeEngine(TESTNET_ONE, golden=ctx)
+    pk, sk = ctx.generate_keys()
+    rng = np.random.default_rng(42)
+    m = [rng.integers(0, ctx.t, ctx.n, dtype=np.uint64) for _ in range(3)]
+    cts = [ctx.encrypt(mi, pk, bytes([i]) * 64) for i, mi in enumerate(m)]
+    return ctx, eng, pk, sk, m, cts
+
+
+def _eq(a, b):
+    return (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_add_sub_neg(setup):
+    ctx, eng, pk, sk, m, (c0, c1, _) = setup
+    assert _eq(eng.add(c0, c1).data, ctx.add(c0, c1).data)
+    assert _eq(eng.sub(c0, c1).data, ctx.sub(c0, c1).data)
+    assert _eq(eng.negate(c0).data, ctx.negate(c0).data)
+
+
+def test_plain_ops(setup):
+    ctx, eng, pk, sk, m, (c0, c1, _) = setup
+    p = m[2]
+    assert _eq(eng.add_plain(c0, p).data, ctx.add_plain(c0, p).data)
+    assert _eq(eng.sub_plain(c0, p).data, ctx.sub_plain(c0, p).data)
+    assert _eq(eng.plain_sub(p, c0).data, ctx.plain_sub(p, c0).data)
+    assert _eq(eng.mul_plain(c0, p).data, ctx.mul_plain(c0, p).data)
+
+
+def test_multiply_relinearize(setup):
+    ctx, eng, pk, sk, m, (c0, c1, _) = setup
+    g3 = ctx.multiply(c0, c1)
+    n3 = eng.multiply(c0, c1)
+    assert _eq(n3.data, g3.data)
+    assert _eq(eng.relinearize(n3, pk.relin).data,
+               ctx.relinearize(g3, pk.relin).data)
+    assert _eq(eng.mul_relin(c0, c1, pk.relin).data,
+               ctx.mul_relin(c0, c1, pk.relin).data)
+
+
+def test_encrypt_decrypt(setup):
+    ctx, eng, pk, sk, m, cts = setup
+    seed = b"\x07" * 64
+    ce = eng.encrypt(m[0], pk, seed)
+    assert _eq(ce.data, ctx.encrypt(m[0], pk, seed).data)
+    for ct in cts:
+        assert _eq(eng.decrypt(ct, sk), ctx.decrypt(ct, sk))
+    # decrypt after deep circuit (size-3 path exercised via relin output)
+    prod = eng.mul_relin(cts[0], cts[1], pk.relin)
+    assert _eq(eng.decrypt(prod, sk), ctx.decrypt(prod, sk))
+
+
+def test_decrypt_size3(setup):
+    ctx, eng, pk, sk, m, (c0, c1, _) = setup
+    c3 = ctx.multiply(c0, c1)
+    assert _eq(eng.decrypt(c3, sk), ctx.decrypt(c3, sk))
+
+
+def test_wrong_key_decrypt_garbage_matches(setup):
+    # Exact equality must hold even on garbage polys (decrypt's exact
+    # wide-arithmetic scale-and-round, host_engine.cpp decrypt notes).
+    ctx, eng, pk, sk, m, (c0, _, _) = setup
+    _, sk2 = ctx.generate_keys()
+    assert _eq(eng.decrypt(c0, sk2), ctx.decrypt(c0, sk2))
+
+
+@pytest.mark.parametrize("params", [BENCH_N1024, BENCH_N8192],
+                         ids=["n1024", "n8192"])
+def test_other_presets_bitexact(params):
+    ctx = BfvContext(params)
+    eng = NativeEngine(params, golden=ctx)
+    pk, sk = ctx.generate_keys()
+    rng = np.random.default_rng(7)
+    m1 = rng.integers(0, ctx.t, ctx.n, dtype=np.uint64)
+    m2 = rng.integers(0, ctx.t, ctx.n, dtype=np.uint64)
+    c1 = ctx.encrypt(m1, pk, b"\x01" * 64)
+    c2 = ctx.encrypt(m2, pk, b"\x02" * 64)
+    assert _eq(eng.encrypt(m1, pk, b"\x03" * 64).data,
+               ctx.encrypt(m1, pk, b"\x03" * 64).data)
+    assert _eq(eng.add(c1, c2).data, ctx.add(c1, c2).data)
+    assert _eq(eng.decrypt(c1, sk), ctx.decrypt(c1, sk))
+    if pk.relin is not None:  # BENCH_N1024 is add-only (no special prime)
+        g = ctx.mul_relin(c1, c2, pk.relin)
+        v = eng.mul_relin(c1, c2, pk.relin)
+        assert _eq(v.data, g.data)
+        assert _eq(eng.decrypt(v, sk), ctx.decrypt(v, sk))
+
+
+def test_randomized_mul_chain(setup):
+    """Depth-2 chain: engine outputs feed back in, staying bit-exact."""
+    ctx, eng, pk, sk, m, (c0, c1, c2) = setup
+    g = ctx.mul_relin(ctx.mul_relin(c0, c1, pk.relin), c2, pk.relin)
+    v = eng.mul_relin(eng.mul_relin(c0, c1, pk.relin), c2, pk.relin)
+    assert _eq(v.data, g.data)
+    assert _eq(eng.decrypt(v, sk), ctx.decrypt(v, sk))
