@@ -252,6 +252,41 @@ def main():
     dt = (time.time() - t0) / NDEC
     emit("byte_path_decrypt_u64_per_sec", 1.0 / dt, "ops/s/host-core")
 
+    # ---- native C++ host engine (SEAL-analog CPU validator path) ------
+    from fhe_precompiles_tpu.app import FheApp
+    napp = FheApp(TESTNET_ONE, engine="native")
+    neng = napp._engine
+    ca_nat, cb_nat = ctx.encrypt(
+        encode_unsigned(17, TESTNET_ONE, 64), FHE.public_key, b"\x11" * 64), \
+        ctx.encrypt(encode_unsigned(4, TESTNET_ONE, 64),
+                    FHE.public_key, b"\x22" * 64)
+    NOP = 10 if quick else 50
+    neng.mul_relin(ca_nat, cb_nat, FHE.public_key.relin)
+    t0 = time.time()
+    for _ in range(NOP):
+        neng.mul_relin(ca_nat, cb_nat, FHE.public_key.relin)
+    emit("native_mul_relin_per_sec", NOP / (time.time() - t0),
+         "ops/s/host-core")
+    t0 = time.time()
+    for _ in range(NOP):
+        neng.decrypt(ca_nat, FHE.private_key)
+    emit("native_decrypt_per_sec", NOP / (time.time() - t0),
+         "ops/s/host-core")
+    t0 = time.time()
+    for _ in range(NOP):
+        neng.encrypt(encode_unsigned(9, TESTNET_ONE, 64), FHE.public_key,
+                     b"\x33" * 64)
+    emit("native_encrypt_per_sec", NOP / (time.time() - t0),
+         "ops/s/host-core")
+    # full byte path (calldata parse -> native op -> serialize)
+    code, _ = napp.call("decrypt_u64", calldata)
+    assert code == 0
+    t0 = time.time()
+    for _ in range(NDEC):
+        napp.call("decrypt_u64", calldata)
+    emit("native_byte_path_decrypt_u64_per_sec", NDEC / (time.time() - t0),
+         "ops/s/host-core")
+
     # ---- distributed rows (subprocesses on the virtual CPU mesh) ------
     if "--with-scaling" in sys.argv:
         import subprocess

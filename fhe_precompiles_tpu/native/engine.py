@@ -21,8 +21,7 @@ import numpy as np
 
 from ..bfv.golden import BfvContext, Ciphertext, PublicKey, RelinKeys, SecretKey
 from ..params import Params
-from ..sampling import (Blake2Xof, DOMAIN_ERROR, DOMAIN_TERNARY, sample_cbd,
-                        sample_ternary)
+from ..sampling import CBD_K, DOMAIN_ERROR, DOMAIN_TERNARY
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 LIB_PATH = os.path.join(_DIR, "libhost_engine.so")
@@ -68,6 +67,11 @@ def _load():
                            _U64P, _U64P],
             "he_multiply": [ctypes.c_void_p, _U64P, _U64P, _U64P],
             "he_relinearize": [ctypes.c_void_p, _U64P, _U64P, _U64P],
+            "he_sample_ternary": [ctypes.c_char_p, ctypes.c_uint64,
+                                  ctypes.c_uint64, _I64P],
+            "he_sample_cbd_pair": [ctypes.c_char_p, ctypes.c_uint64,
+                                   ctypes.c_uint64, ctypes.c_uint64,
+                                   _I64P, _I64P],
         }.items():
             fn = getattr(lib, name)
             fn.argtypes = args
@@ -196,10 +200,15 @@ class NativeEngine:
     def encrypt(self, plain: np.ndarray, pk: PublicKey,
                 seed: bytes) -> Ciphertext:
         n = self.n
-        u = sample_ternary(Blake2Xof(seed, DOMAIN_TERNARY), n)
-        xof_e = Blake2Xof(seed, DOMAIN_ERROR)
-        e0 = sample_cbd(xof_e, n)
-        e1 = sample_cbd(xof_e, n)
+        # Native BLAKE2b XOF samplers: byte-identical streams to
+        # sampling.sample_ternary / sample_cbd (tests/test_native_engine.py
+        # pins the equality), ~10x the hashlib block loop.
+        u = np.empty(n, dtype=np.int64)
+        e0 = np.empty(n, dtype=np.int64)
+        e1 = np.empty(n, dtype=np.int64)
+        self._lib.he_sample_ternary(seed, DOMAIN_TERNARY, n, _i64p(u))
+        self._lib.he_sample_cbd_pair(seed, DOMAIN_ERROR, n, CBD_K,
+                                     _i64p(e0), _i64p(e1))
         return self.encrypt_with_randomness(plain, pk, u, e0, e1)
 
     def encrypt_with_randomness(self, plain: np.ndarray, pk: PublicKey,

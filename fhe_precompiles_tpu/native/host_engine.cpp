@@ -34,6 +34,18 @@
 #include <map>
 #include <vector>
 
+#if defined(__x86_64__) && defined(__GNUC__)
+#include <immintrin.h>
+#define HE_HAVE_AVX512 1
+// AVX-512 IFMA (vpmadd52) gives 52x52->104-bit multiply-add: with all moduli
+// < 2^37 (lazy values < 4p < 2^39), Harvey butterflies with beta = 2^52
+// Shoup constants fit entirely in the 52-bit domain -- the same observation
+// Intel HEXL builds on.  Compiled with per-function target attributes and
+// dispatched at runtime, so the .so stays portable to non-AVX512 hosts.
+#define HE_AVX512_FN \
+    __attribute__((target("avx512f,avx512dq,avx512vl,avx512ifma")))
+#endif
+
 typedef uint64_t u64;
 typedef int64_t i64;
 typedef unsigned __int128 u128;
@@ -202,6 +214,112 @@ static inline u64 u192_div_u128_small(u192 N, u128 q) {
 }
 
 // ---------------------------------------------------------------------------
+// BLAKE2b (RFC 7693, unkeyed, 64-byte digest) + the framework's counter-mode
+// XOF and samplers.  Must match sampling.py byte-for-byte: block_i =
+// BLAKE2b-64(seed || le64(domain) || le64(i)); ternary via 2-bit rejection;
+// CBD via MSB-first bit unpacking (np.unpackbits order).
+// ---------------------------------------------------------------------------
+
+namespace blake2b {
+
+static const u64 IV[8] = {
+    0x6a09e667f3bcc908ULL, 0xbb67ae8584caa73bULL, 0x3c6ef372fe94f82bULL,
+    0xa54ff53a5f1d36f1ULL, 0x510e527fade682d1ULL, 0x9b05688c2b3e6c1fULL,
+    0x1f83d9abfb41bd6bULL, 0x5be0cd19137e2179ULL};
+
+static const uint8_t SIGMA[12][16] = {
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3},
+    {11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4},
+    {7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8},
+    {9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13},
+    {2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9},
+    {12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11},
+    {13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10},
+    {6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5},
+    {10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0},
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3}};
+
+static inline u64 rotr64(u64 x, int r) { return (x >> r) | (x << (64 - r)); }
+
+static inline void G(u64* v, int a, int b, int cc, int d, u64 x, u64 y) {
+    v[a] = v[a] + v[b] + x;
+    v[d] = rotr64(v[d] ^ v[a], 32);
+    v[cc] = v[cc] + v[d];
+    v[b] = rotr64(v[b] ^ v[cc], 24);
+    v[a] = v[a] + v[b] + y;
+    v[d] = rotr64(v[d] ^ v[a], 16);
+    v[cc] = v[cc] + v[d];
+    v[b] = rotr64(v[b] ^ v[cc], 63);
+}
+
+static inline u64 load_le64(const uint8_t* p) {
+    u64 x;
+    std::memcpy(&x, p, 8);           // little-endian hosts (x86/arm64)
+    return x;
+}
+
+static inline void store_le64(uint8_t* p, u64 x) { std::memcpy(p, &x, 8); }
+
+// Single-block hash of a message with len <= 128 (all our inputs are 80 B).
+static void hash64(const uint8_t* msg, size_t len, uint8_t out[64]) {
+    u64 h[8];
+    for (int i = 0; i < 8; ++i) h[i] = IV[i];
+    h[0] ^= 0x01010040ULL;           // digest 64, key 0, fanout 1, depth 1
+    uint8_t block[128] = {0};
+    std::memcpy(block, msg, len);
+    u64 m[16], v[16];
+    for (int i = 0; i < 16; ++i) m[i] = load_le64(block + 8 * i);
+    for (int i = 0; i < 8; ++i) { v[i] = h[i]; v[i + 8] = IV[i]; }
+    v[12] ^= (u64)len;               // t0 = total bytes
+    v[14] = ~v[14];                  // final block flag
+    for (int r = 0; r < 12; ++r) {
+        const uint8_t* s = SIGMA[r];
+        G(v, 0, 4, 8, 12, m[s[0]], m[s[1]]);
+        G(v, 1, 5, 9, 13, m[s[2]], m[s[3]]);
+        G(v, 2, 6, 10, 14, m[s[4]], m[s[5]]);
+        G(v, 3, 7, 11, 15, m[s[6]], m[s[7]]);
+        G(v, 0, 5, 10, 15, m[s[8]], m[s[9]]);
+        G(v, 1, 6, 11, 12, m[s[10]], m[s[11]]);
+        G(v, 2, 7, 8, 13, m[s[12]], m[s[13]]);
+        G(v, 3, 4, 9, 14, m[s[14]], m[s[15]]);
+    }
+    for (int i = 0; i < 8; ++i) store_le64(out + 8 * i, h[i] ^ v[i] ^ v[i + 8]);
+}
+
+}  // namespace blake2b
+
+// Counter-mode XOF over BLAKE2b blocks, stateful leftover buffer --
+// identical stream to sampling.Blake2Xof.read().
+struct Xof {
+    uint8_t msg[80];                 // seed(64) || le64(domain) || le64(ctr)
+    u64 counter = 0;
+    std::vector<uint8_t> buf;
+
+    Xof(const uint8_t* seed, u64 domain) {
+        std::memcpy(msg, seed, 64);
+        blake2b::store_le64(msg + 64, domain);
+    }
+    void read(uint8_t* out, size_t nbytes) {
+        size_t have = buf.size();
+        std::vector<uint8_t> data(std::move(buf));
+        buf.clear();
+        data.reserve(have + ((nbytes > have ? nbytes - have : 0) + 63) + 64);
+        while (have < nbytes) {
+            blake2b::store_le64(msg + 72, counter);
+            ++counter;
+            uint8_t block[64];
+            blake2b::hash64(msg, 80, block);
+            data.insert(data.end(), block, block + 64);
+            have += 64;
+        }
+        std::memcpy(out, data.data(), nbytes);
+        buf.assign(data.begin() + nbytes, data.end());
+    }
+};
+
+// ---------------------------------------------------------------------------
 // NTT tables (bit-reversed Longa-Naehrig layout; golden bfv/modmath.py)
 // ---------------------------------------------------------------------------
 
@@ -231,6 +349,12 @@ static u64 bit_reverse(u64 x, unsigned bits) {
     return r;
 }
 
+// 52-bit Shoup companion: floor(w * 2^52 / p).  Exact for x < 2^52, w < p
+// (same analysis as the 64-bit version with beta = 2^52).
+static inline u64 shoup52_precompute(u64 w, u64 p) {
+    return (u64)((((u128)w) << 52) / p);
+}
+
 struct Table {
     u64 p = 0;
     Barrett br;
@@ -239,6 +363,13 @@ struct Table {
     std::vector<u64> w, ws;     // root_powers + Shoup companions
     std::vector<u64> iw, iws;   // inverse root powers + Shoup
     u64 n_inv = 0, n_inv_s = 0;
+    // AVX-512 IFMA side tables (beta = 2^52 Shoup companions, plus
+    // lane-ordered twiddles for the three butterfly stages whose block
+    // half-width t < 8 and therefore straddles a single zmm register).
+    std::vector<u64> ws52, iws52;
+    u64 n_inv_s52 = 0;
+    std::vector<u64> lane_w[3], lane_ws52[3];    // forward, t = 4,2,1
+    std::vector<u64> lane_iw[3], lane_iws52[3];  // inverse, t = 4,2,1
 
     bool init(u64 p_, u64 n_) {
         p = p_; n = n_;
@@ -251,22 +382,453 @@ struct Table {
         u128 acc = 1;
         for (u64 i = 0; i < n; ++i) { pows[i] = (u64)acc; acc = acc * psi % p; }
         w.resize(n); ws.resize(n); iw.resize(n); iws.resize(n);
+        ws52.resize(n); iws52.resize(n);
         for (u64 i = 0; i < n; ++i) {
             u64 v = pows[bit_reverse(i, logn)];
             w[i] = v;
             ws[i] = shoup_precompute(v, p);
+            ws52[i] = shoup52_precompute(v, p);
             u64 vi = invmod(v, p);
             iw[i] = vi;
             iws[i] = shoup_precompute(vi, p);
+            iws52[i] = shoup52_precompute(vi, p);
         }
         n_inv = invmod(n % p, p);
         n_inv_s = shoup_precompute(n_inv, p);
+        n_inv_s52 = shoup52_precompute(n_inv, p);
+        // Lane-ordered twiddles: at stage (m, t) the butterfly containing
+        // index i uses twiddle index m + i/(2t); materializing that per
+        // lane lets the t<8 stages run as uniform blended vector code.
+        if (n >= 8) {
+            for (unsigned lt = 0; lt < 3; ++lt) {     // lt = log2(t)
+                const u64 t = 1ull << lt, m = n / (2 * t);
+                lane_w[lt].resize(n); lane_ws52[lt].resize(n);
+                lane_iw[lt].resize(n); lane_iws52[lt].resize(n);
+                for (u64 i = 0; i < n; ++i) {
+                    const u64 idx = m + i / (2 * t);
+                    lane_w[lt][i] = w[idx];
+                    lane_ws52[lt][i] = ws52[idx];
+                    lane_iw[lt][i] = iw[idx];
+                    lane_iws52[lt][i] = iws52[idx];
+                }
+            }
+        }
         return true;
     }
 };
 
+#ifdef HE_HAVE_AVX512
+// ---------------------------------------------------------------------------
+// AVX-512 IFMA NTT (Harvey lazy butterflies, beta = 2^52 Shoup arithmetic)
+//
+// Bit-exactness: every butterfly computes the same value mod p as the scalar
+// path; values are kept lazily in [0, 4p) (forward) / [0, 2p) (inverse) and
+// canonicalized at the end, so the output arrays are identical byte-for-byte
+// to ntt_inplace/intt_inplace (asserted across all ops by
+// tests/test_native_engine.py).
+// ---------------------------------------------------------------------------
+
+// (x * w) mod-ish p via 52-bit Shoup: returns value in [0, 2p), exact for
+// x < 2^52, w < p.  q = hi52(x * ws); T = (x*w - q*p) mod 2^52.
+HE_AVX512_FN static inline __m512i shoup52v(__m512i x, __m512i w, __m512i ws,
+                                            __m512i p, __m512i mask52) {
+    const __m512i z = _mm512_setzero_si512();
+    __m512i q = _mm512_madd52hi_epu64(z, x, ws);
+    __m512i t = _mm512_sub_epi64(_mm512_madd52lo_epu64(z, x, w),
+                                 _mm512_madd52lo_epu64(z, q, p));
+    return _mm512_and_si512(t, mask52);
+}
+
+// Partner-exchange permutation for block half-width t in {4, 2, 1}.
+HE_AVX512_FN static inline __m512i swap_t(__m512i x, u64 t) {
+    if (t == 4) return _mm512_shuffle_i64x2(x, x, _MM_SHUFFLE(1, 0, 3, 2));
+    if (t == 2) return _mm512_shuffle_i64x2(x, x, _MM_SHUFFLE(2, 3, 0, 1));
+    __m512d xd = _mm512_castsi512_pd(x);
+    return _mm512_castpd_si512(_mm512_shuffle_pd(xd, xd, 0x55));
+}
+
+HE_AVX512_FN static void ntt_avx512(const Table& tb, u64* a) {
+    const u64 p = tb.p, n = tb.n;
+    const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i v2p = _mm512_set1_epi64((long long)(2 * p));
+    const __m512i mask52 = _mm512_set1_epi64((long long)((1ull << 52) - 1));
+    u64 m = 1, t = n >> 1;
+    for (; t >= 8; m <<= 1, t >>= 1) {
+        for (u64 blk = 0; blk < m; ++blk) {
+            const __m512i wv = _mm512_set1_epi64((long long)tb.w[m + blk]);
+            const __m512i wsv = _mm512_set1_epi64((long long)tb.ws52[m + blk]);
+            u64* lo = a + blk * 2 * t;
+            u64* hi = lo + t;
+            for (u64 j = 0; j < t; j += 8) {
+                __m512i X = _mm512_loadu_si512(lo + j);
+                __m512i Y = _mm512_loadu_si512(hi + j);
+                __mmask8 ge = _mm512_cmpge_epu64_mask(X, v2p);
+                X = _mm512_mask_sub_epi64(X, ge, X, v2p);   // X < 2p
+                __m512i T = shoup52v(Y, wv, wsv, vp, mask52);  // < 2p
+                _mm512_storeu_si512(lo + j, _mm512_add_epi64(X, T));
+                _mm512_storeu_si512(
+                    hi + j, _mm512_add_epi64(_mm512_sub_epi64(X, T), v2p));
+            }
+        }
+    }
+    for (; m < n; m <<= 1, t >>= 1) {       // t = 4, 2, 1
+        const unsigned lt = (t == 4) ? 2 : (t == 2) ? 1 : 0;
+        const u64* lw = tb.lane_w[lt].data();
+        const u64* lws = tb.lane_ws52[lt].data();
+        const __mmask8 himask = (t == 4) ? 0xF0 : (t == 2) ? 0xCC : 0xAA;
+        for (u64 i = 0; i < n; i += 8) {
+            __m512i x = _mm512_loadu_si512(a + i);
+            __m512i y = swap_t(x, t);
+            // l: the lo element of each pair in every lane; h: the hi one.
+            __m512i l = _mm512_mask_blend_epi64(himask, x, y);
+            __m512i h = _mm512_mask_blend_epi64(himask, y, x);
+            __mmask8 ge = _mm512_cmpge_epu64_mask(l, v2p);
+            l = _mm512_mask_sub_epi64(l, ge, l, v2p);
+            __m512i T = shoup52v(h, _mm512_loadu_si512(lw + i),
+                                 _mm512_loadu_si512(lws + i), vp, mask52);
+            __m512i out_lo = _mm512_add_epi64(l, T);
+            __m512i out_hi = _mm512_add_epi64(_mm512_sub_epi64(l, T), v2p);
+            _mm512_storeu_si512(a + i,
+                                _mm512_mask_blend_epi64(himask, out_lo, out_hi));
+        }
+    }
+    // canonicalize [0, 4p) -> [0, p)
+    for (u64 i = 0; i < n; i += 8) {
+        __m512i x = _mm512_loadu_si512(a + i);
+        __mmask8 ge = _mm512_cmpge_epu64_mask(x, v2p);
+        x = _mm512_mask_sub_epi64(x, ge, x, v2p);
+        ge = _mm512_cmpge_epu64_mask(x, vp);
+        x = _mm512_mask_sub_epi64(x, ge, x, vp);
+        _mm512_storeu_si512(a + i, x);
+    }
+}
+
+HE_AVX512_FN static void intt_avx512(const Table& tb, u64* a) {
+    const u64 p = tb.p, n = tb.n;
+    const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i v2p = _mm512_set1_epi64((long long)(2 * p));
+    const __m512i mask52 = _mm512_set1_epi64((long long)((1ull << 52) - 1));
+    u64 m = n >> 1, t = 1;
+    for (; t < 8 && m >= 1; m >>= 1, t <<= 1) {  // t = 1, 2, 4
+        const unsigned lt = (t == 4) ? 2 : (t == 2) ? 1 : 0;
+        const u64* lw = tb.lane_iw[lt].data();
+        const u64* lws = tb.lane_iws52[lt].data();
+        const __mmask8 himask = (t == 4) ? 0xF0 : (t == 2) ? 0xCC : 0xAA;
+        for (u64 i = 0; i < n; i += 8) {
+            __m512i x = _mm512_loadu_si512(a + i);
+            __m512i y = swap_t(x, t);
+            __m512i l = _mm512_mask_blend_epi64(himask, x, y);  // < 2p
+            __m512i h = _mm512_mask_blend_epi64(himask, y, x);  // < 2p
+            __m512i S = _mm512_add_epi64(l, h);                 // < 4p
+            __mmask8 ge = _mm512_cmpge_epu64_mask(S, v2p);
+            S = _mm512_mask_sub_epi64(S, ge, S, v2p);           // < 2p
+            __m512i D = _mm512_add_epi64(_mm512_sub_epi64(l, h), v2p);  // < 4p
+            __m512i T = shoup52v(D, _mm512_loadu_si512(lw + i),
+                                 _mm512_loadu_si512(lws + i), vp, mask52);
+            _mm512_storeu_si512(a + i,
+                                _mm512_mask_blend_epi64(himask, S, T));
+        }
+    }
+    for (; m >= 1; m >>= 1, t <<= 1) {           // t >= 8
+        for (u64 blk = 0; blk < m; ++blk) {
+            const __m512i wv = _mm512_set1_epi64((long long)tb.iw[m + blk]);
+            const __m512i wsv =
+                _mm512_set1_epi64((long long)tb.iws52[m + blk]);
+            u64* lo = a + blk * 2 * t;
+            u64* hi = lo + t;
+            for (u64 j = 0; j < t; j += 8) {
+                __m512i X = _mm512_loadu_si512(lo + j);
+                __m512i Y = _mm512_loadu_si512(hi + j);
+                __m512i S = _mm512_add_epi64(X, Y);
+                __mmask8 ge = _mm512_cmpge_epu64_mask(S, v2p);
+                S = _mm512_mask_sub_epi64(S, ge, S, v2p);
+                __m512i D = _mm512_add_epi64(_mm512_sub_epi64(X, Y), v2p);
+                __m512i T = shoup52v(D, wv, wsv, vp, mask52);
+                _mm512_storeu_si512(lo + j, S);
+                _mm512_storeu_si512(hi + j, T);
+            }
+        }
+    }
+    const __m512i ninv = _mm512_set1_epi64((long long)tb.n_inv);
+    const __m512i ninvs = _mm512_set1_epi64((long long)tb.n_inv_s52);
+    for (u64 i = 0; i < n; i += 8) {
+        __m512i x = _mm512_loadu_si512(a + i);              // < 2p
+        x = shoup52v(x, ninv, ninvs, vp, mask52);           // < 2p
+        __mmask8 ge = _mm512_cmpge_epu64_mask(x, vp);
+        x = _mm512_mask_sub_epi64(x, ge, x, vp);            // canonical
+        _mm512_storeu_si512(a + i, x);
+    }
+}
+
+static bool cpu_has_ifma() {
+    static const bool ok = __builtin_cpu_supports("avx512ifma") &&
+                           __builtin_cpu_supports("avx512dq") &&
+                           __builtin_cpu_supports("avx512vl");
+    return ok;
+}
+
+// ---------------------------------------------------------------------------
+// AVX-512 IFMA elementwise helpers for the BEHZ tail.  All accept inputs up
+// to 2^52 (not just < p), which subsumes the scalar path's reduce64
+// pre-reductions; every helper's output is exactly congruent mod p to the
+// scalar computation, and canonical where stated.
+// ---------------------------------------------------------------------------
+
+// dst[j] = src[j] * w mod p (canonical).  src < 2^52, w < p.
+HE_AVX512_FN static void vec_mulc_avx512(u64* dst, const u64* src, u64 n,
+                                         u64 w, u64 p) {
+    const u64 ws = shoup52_precompute(w, p);
+    const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i wv = _mm512_set1_epi64((long long)w);
+    const __m512i wsv = _mm512_set1_epi64((long long)ws);
+    const __m512i mask52 = _mm512_set1_epi64((long long)((1ull << 52) - 1));
+    for (u64 j = 0; j < n; j += 8) {
+        __m512i x = _mm512_loadu_si512(src + j);
+        __m512i t = shoup52v(x, wv, wsv, vp, mask52);     // < 2p
+        __mmask8 ge = _mm512_cmpge_epu64_mask(t, vp);
+        t = _mm512_mask_sub_epi64(t, ge, t, vp);
+        _mm512_storeu_si512(dst + j, t);
+    }
+}
+
+// acc[j] += (src[j] * w mod-ish p), the mod-ish term in [0, 2p).
+// Caller guarantees the running accumulator stays < 2^52.
+HE_AVX512_FN static void vec_addmulc_avx512(u64* acc, const u64* src, u64 n,
+                                            u64 w, u64 p) {
+    const u64 ws = shoup52_precompute(w, p);
+    const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i wv = _mm512_set1_epi64((long long)w);
+    const __m512i wsv = _mm512_set1_epi64((long long)ws);
+    const __m512i mask52 = _mm512_set1_epi64((long long)((1ull << 52) - 1));
+    for (u64 j = 0; j < n; j += 8) {
+        __m512i x = _mm512_loadu_si512(src + j);
+        __m512i t = shoup52v(x, wv, wsv, vp, mask52);
+        _mm512_storeu_si512(acc + j,
+                            _mm512_add_epi64(_mm512_loadu_si512(acc + j), t));
+    }
+}
+
+// a[j] (< 2^52) -> a[j] mod p, canonical.  Shoup with w = 1.
+HE_AVX512_FN static void vec_reduce_avx512(u64* a, u64 n, u64 p) {
+    const u64 mu = shoup52_precompute(1, p);
+    const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i one = _mm512_set1_epi64(1);
+    const __m512i muv = _mm512_set1_epi64((long long)mu);
+    const __m512i mask52 = _mm512_set1_epi64((long long)((1ull << 52) - 1));
+    for (u64 j = 0; j < n; j += 8) {
+        __m512i x = _mm512_loadu_si512(a + j);
+        __m512i t = shoup52v(x, one, muv, vp, mask52);    // < 2p
+        __mmask8 ge = _mm512_cmpge_epu64_mask(t, vp);
+        t = _mm512_mask_sub_epi64(t, ge, t, vp);
+        _mm512_storeu_si512(a + j, t);
+    }
+}
+
+// Montgomery multiply with beta = 2^52: returns x*y*2^-52 mod-ish p in
+// [0, 2p), exact for x*y < p * 2^52 (x, y < 2p always qualifies: 4p^2 <
+// 2^76 < p * 2^52 since p > 2^24 for any NTT-friendly modulus here).
+// pinv52 = -p^-1 mod 2^52.
+HE_AVX512_FN static inline __m512i montmul52v(__m512i x, __m512i y,
+                                              __m512i p, __m512i pinv52,
+                                              __m512i mask52) {
+    const __m512i z = _mm512_setzero_si512();
+    __m512i lo = _mm512_madd52lo_epu64(z, x, y);
+    __m512i hi = _mm512_madd52hi_epu64(z, x, y);
+    __m512i q = _mm512_and_si512(_mm512_madd52lo_epu64(z, lo, pinv52),
+                                 mask52);
+    // (lo + lo52(q*p)) is 0 or 2^52 exactly; carry = (lo != 0).
+    __mmask8 carry = _mm512_cmpneq_epu64_mask(lo, z);
+    __m512i r = _mm512_madd52hi_epu64(hi, q, p);
+    return _mm512_mask_add_epi64(r, carry, r, _mm512_set1_epi64(1));
+}
+
+// -p^-1 mod 2^52 (p odd), via Newton iteration on 64 bits then masking.
+static u64 pinv52_of(u64 p) {
+    u64 inv = p;                      // p^-1 mod 2^3
+    for (int i = 0; i < 5; ++i) inv *= 2 - p * inv;   // -> mod 2^64
+    return (0 - inv) & ((1ull << 52) - 1);
+}
+
+// dst[j] = src[j] * w mod-ish p, in [0, 2p) (no canonicalization).
+HE_AVX512_FN static void vec_mulc_lazy_avx512(u64* dst, const u64* src,
+                                              u64 n, u64 w, u64 p) {
+    const u64 ws = shoup52_precompute(w, p);
+    const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i wv = _mm512_set1_epi64((long long)w);
+    const __m512i wsv = _mm512_set1_epi64((long long)ws);
+    const __m512i mask52 = _mm512_set1_epi64((long long)((1ull << 52) - 1));
+    for (u64 j = 0; j < n; j += 8)
+        _mm512_storeu_si512(
+            dst + j, shoup52v(_mm512_loadu_si512(src + j), wv, wsv, vp,
+                              mask52));
+}
+
+// dst[j] = (a[j] - b[j]) * w mod p (canonical).  a, b < p, w < p.
+HE_AVX512_FN static void vec_submulc_avx512(u64* dst, const u64* a,
+                                            const u64* b, u64 n, u64 w,
+                                            u64 p) {
+    const u64 ws = shoup52_precompute(w, p);
+    const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i wv = _mm512_set1_epi64((long long)w);
+    const __m512i wsv = _mm512_set1_epi64((long long)ws);
+    const __m512i mask52 = _mm512_set1_epi64((long long)((1ull << 52) - 1));
+    for (u64 j = 0; j < n; j += 8) {
+        __m512i d = _mm512_add_epi64(
+            _mm512_sub_epi64(_mm512_loadu_si512(a + j),
+                             _mm512_loadu_si512(b + j)), vp);   // < 2p
+        __m512i t = shoup52v(d, wv, wsv, vp, mask52);           // < 2p
+        __mmask8 ge = _mm512_cmpge_epu64_mask(t, vp);
+        t = _mm512_mask_sub_epi64(t, ge, t, vp);
+        _mm512_storeu_si512(dst + j, t);
+    }
+}
+
+// acc[j] += x[j] * y[j] * 2^-52 mod-ish p (Montgomery term < 2p); callers
+// pre-lift one operand by 2^52 mod p so the 2^-52 cancels.
+HE_AVX512_FN static void vec_addmont_avx512(u64* acc, const u64* x,
+                                            const u64* y, u64 n, u64 p) {
+    const u64 pinv = pinv52_of(p);
+    const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i piv = _mm512_set1_epi64((long long)pinv);
+    const __m512i mask52 = _mm512_set1_epi64((long long)((1ull << 52) - 1));
+    for (u64 j = 0; j < n; j += 8) {
+        __m512i t = montmul52v(_mm512_loadu_si512(x + j),
+                               _mm512_loadu_si512(y + j), vp, piv, mask52);
+        _mm512_storeu_si512(acc + j,
+                            _mm512_add_epi64(_mm512_loadu_si512(acc + j), t));
+    }
+}
+
+// to_bsk final per-base step: o = ((cv + qmx * (r_c mod x)) * imt) mod x,
+// with r_c signed and |r_c| <= m_tilde/2 < x.
+HE_AVX512_FN static void vec_tobsk_final_avx512(u64* o, const u64* cv,
+                                                const i64* r_c, u64 n, u64 x,
+                                                u64 qmx, u64 imt) {
+    const u64 qs = shoup52_precompute(qmx, x);
+    const u64 is = shoup52_precompute(imt, x);
+    const __m512i vx = _mm512_set1_epi64((long long)x);
+    const __m512i qv = _mm512_set1_epi64((long long)qmx);
+    const __m512i qsv = _mm512_set1_epi64((long long)qs);
+    const __m512i iv = _mm512_set1_epi64((long long)imt);
+    const __m512i isv = _mm512_set1_epi64((long long)is);
+    const __m512i z = _mm512_setzero_si512();
+    const __m512i mask52 = _mm512_set1_epi64((long long)((1ull << 52) - 1));
+    for (u64 j = 0; j < n; j += 8) {
+        __m512i r = _mm512_loadu_si512(r_c + j);
+        __mmask8 neg = _mm512_cmpgt_epi64_mask(z, r);
+        r = _mm512_mask_add_epi64(r, neg, r, vx);               // r mod x
+        __m512i t = shoup52v(r, qv, qsv, vx, mask52);           // < 2x
+        __m512i num = _mm512_add_epi64(_mm512_loadu_si512(cv + j), t);
+        t = shoup52v(num, iv, isv, vx, mask52);                 // < 2x
+        __mmask8 ge = _mm512_cmpge_epu64_mask(t, vx);
+        t = _mm512_mask_sub_epi64(t, ge, t, vx);
+        _mm512_storeu_si512(o + j, t);
+    }
+}
+
+// fastbconv_sk final correction: o = (o - (alpha mod p) * pbq) mod p, with
+// alpha signed and |alpha| <= m_sk/2 < p, o < p canonical.
+HE_AVX512_FN static void vec_subcorr_avx512(u64* o, const i64* alpha, u64 n,
+                                            u64 p, u64 pbq) {
+    const u64 ps = shoup52_precompute(pbq, p);
+    const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i v2p = _mm512_set1_epi64((long long)(2 * p));
+    const __m512i wv = _mm512_set1_epi64((long long)pbq);
+    const __m512i wsv = _mm512_set1_epi64((long long)ps);
+    const __m512i z = _mm512_setzero_si512();
+    const __m512i mask52 = _mm512_set1_epi64((long long)((1ull << 52) - 1));
+    for (u64 j = 0; j < n; j += 8) {
+        __m512i r = _mm512_loadu_si512(alpha + j);
+        __mmask8 neg = _mm512_cmpgt_epi64_mask(z, r);
+        r = _mm512_mask_add_epi64(r, neg, r, vp);
+        __m512i corr = shoup52v(r, wv, wsv, vp, mask52);        // < 2p
+        __m512i t = _mm512_sub_epi64(
+            _mm512_add_epi64(_mm512_loadu_si512(o + j), v2p), corr);  // < 3p
+        __mmask8 ge = _mm512_cmpge_epu64_mask(t, v2p);
+        t = _mm512_mask_sub_epi64(t, ge, t, v2p);
+        ge = _mm512_cmpge_epu64_mask(t, vp);
+        t = _mm512_mask_sub_epi64(t, ge, t, vp);
+        _mm512_storeu_si512(o + j, t);
+    }
+}
+
+// dst[j] = src[j] mod p for signed src with |src| < p.
+HE_AVX512_FN static void vec_signed_mod_avx512(u64* dst, const i64* src,
+                                               u64 n, u64 p) {
+    const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i z = _mm512_setzero_si512();
+    for (u64 j = 0; j < n; j += 8) {
+        __m512i x = _mm512_loadu_si512(src + j);
+        __mmask8 neg = _mm512_cmpgt_epi64_mask(z, x);
+        _mm512_storeu_si512(dst + j, _mm512_mask_add_epi64(x, neg, x, vp));
+    }
+}
+
+// o[j] = (base[j] + (e[j] mod p) [+ d[j]]) mod p, canonical; |e| < p,
+// base/d canonical.
+HE_AVX512_FN static void vec_encrypt_final_avx512(u64* o, const u64* base,
+                                                  const i64* e, const u64* d,
+                                                  u64 n, u64 p) {
+    const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i z = _mm512_setzero_si512();
+    for (u64 j = 0; j < n; j += 8) {
+        __m512i ev = _mm512_loadu_si512(e + j);
+        __mmask8 neg = _mm512_cmpgt_epi64_mask(z, ev);
+        ev = _mm512_mask_add_epi64(ev, neg, ev, vp);
+        __m512i x = _mm512_add_epi64(_mm512_loadu_si512(base + j), ev);
+        __mmask8 ge = _mm512_cmpge_epu64_mask(x, vp);
+        x = _mm512_mask_sub_epi64(x, ge, x, vp);
+        if (d) {
+            x = _mm512_add_epi64(x, _mm512_loadu_si512(d + j));
+            ge = _mm512_cmpge_epu64_mask(x, vp);
+            x = _mm512_mask_sub_epi64(x, ge, x, vp);
+        }
+        _mm512_storeu_si512(o + j, x);
+    }
+}
+
+// Dyadic stage of BEHZ multiply for one base: given NTT-form a0,a1,b0,b1
+// (canonical), produce p0 = a0*b0, p1 = a0*b1 + a1*b0, p2 = a1*b1, each in
+// [0, 2p) -- lazily congruent, canonicalized downstream by intt_avx512.
+HE_AVX512_FN static void vec_dyadic_avx512(const u64* a0, const u64* a1,
+                                           const u64* b0, const u64* b1,
+                                           u64 n, u64 p,
+                                           u64* p0, u64* p1, u64* p2) {
+    const u64 r52 = (u64)((((u128)1) << 52) % p);     // 2^52 mod p
+    const u64 r52s = shoup52_precompute(r52, p);
+    const u64 pinv = pinv52_of(p);
+    const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i v2p = _mm512_set1_epi64((long long)(2 * p));
+    const __m512i rv = _mm512_set1_epi64((long long)r52);
+    const __m512i rsv = _mm512_set1_epi64((long long)r52s);
+    const __m512i piv = _mm512_set1_epi64((long long)pinv);
+    const __m512i mask52 = _mm512_set1_epi64((long long)((1ull << 52) - 1));
+    for (u64 j = 0; j < n; j += 8) {
+        __m512i x0 = _mm512_loadu_si512(a0 + j);
+        __m512i x1 = _mm512_loadu_si512(a1 + j);
+        __m512i y0 = _mm512_loadu_si512(b0 + j);
+        __m512i y1 = _mm512_loadu_si512(b1 + j);
+        // lift a-side into the Montgomery domain: x*2^52 mod-ish p (< 2p)
+        __m512i x0m = shoup52v(x0, rv, rsv, vp, mask52);
+        __m512i x1m = shoup52v(x1, rv, rsv, vp, mask52);
+        __m512i q0 = montmul52v(x0m, y0, vp, piv, mask52);          // < 2p
+        __m512i q2 = montmul52v(x1m, y1, vp, piv, mask52);          // < 2p
+        __m512i q1 = _mm512_add_epi64(montmul52v(x0m, y1, vp, piv, mask52),
+                                      montmul52v(x1m, y0, vp, piv, mask52));
+        __mmask8 ge = _mm512_cmpge_epu64_mask(q1, v2p);
+        q1 = _mm512_mask_sub_epi64(q1, ge, q1, v2p);                // < 2p
+        _mm512_storeu_si512(p0 + j, q0);
+        _mm512_storeu_si512(p1 + j, q1);
+        _mm512_storeu_si512(p2 + j, q2);
+    }
+}
+#endif  // HE_HAVE_AVX512
+
 // Forward negacyclic NTT, natural -> bit-reversed (golden bfv/ntt.py ntt()).
 static void ntt_inplace(const Table& tb, u64* a) {
+#ifdef HE_HAVE_AVX512
+    if (tb.n >= 8 && cpu_has_ifma()) { ntt_avx512(tb, a); return; }
+#endif
     const u64 p = tb.p, n = tb.n;
     u64 t = n;
     for (u64 m = 1; m < n; m <<= 1) {
@@ -287,6 +849,9 @@ static void ntt_inplace(const Table& tb, u64* a) {
 
 // Inverse negacyclic NTT, bit-reversed -> natural (golden bfv/ntt.py intt()).
 static void intt_inplace(const Table& tb, u64* a) {
+#ifdef HE_HAVE_AVX512
+    if (tb.n >= 8 && cpu_has_ifma()) { intt_avx512(tb, a); return; }
+#endif
     const u64 p = tb.p, n = tb.n;
     u64 t = 1;
     for (u64 m = n >> 1; m >= 1; m >>= 1) {
@@ -489,6 +1054,25 @@ static void fastbconv_q(const Ctx& c, const u64* poly,
     const u64 n = c.n;
     const size_t k = c.k;
     std::vector<u64> ys(k * n);
+#ifdef HE_HAVE_AVX512
+    if (n % 8 == 0 && cpu_has_ifma()) {
+        for (size_t i = 0; i < k; ++i)
+            vec_mulc_avx512(ys.data() + i * n, poly + i * n, n,
+                            c.q_hat_inv[i], c.qm[i]);
+        for (size_t xi = 0; xi < targets.size(); ++xi) {
+            const u64 x = targets[xi];
+            const std::vector<u64>& hats = c.q_hat_mod_x.at(x);
+            u64* o = out + xi * n;
+            std::memset(o, 0, n * sizeof(u64));
+            // 52-bit Shoup accepts any y < 2^52, subsuming the scalar
+            // path's cross-base reduce64; k <= 4 lazy terms < 2x each.
+            for (size_t i = 0; i < k; ++i)
+                vec_addmulc_avx512(o, ys.data() + i * n, n, hats[i], x);
+            vec_reduce_avx512(o, n, x);
+        }
+        return;
+    }
+#endif
     for (size_t i = 0; i < k; ++i) {
         const Barrett& br = c.bar(c.qm[i]);
         const u64 qi = c.q_hat_inv[i];
@@ -517,11 +1101,19 @@ static void to_bsk(const Ctx& c, const u64* poly, u64* out) {
     const u64 n = c.n, mt = c.m_tilde;
     const size_t k = c.k, nbsk = c.bsk.size();
     std::vector<u64> scaled(k * n);
+#ifdef HE_HAVE_AVX512
+    const bool vec = (n % 8 == 0) && cpu_has_ifma();
+#else
+    const bool vec = false;
+#endif
     for (size_t i = 0; i < k; ++i) {
-        const Barrett& br = c.bar(c.qm[i]);
         const u64 mtq = c.mtilde_mod_q[i];
         const u64* src = poly + i * n;
         u64* dst = scaled.data() + i * n;
+#ifdef HE_HAVE_AVX512
+        if (vec) { vec_mulc_avx512(dst, src, n, mtq, c.qm[i]); continue; }
+#endif
+        const Barrett& br = c.bar(c.qm[i]);
         for (u64 j = 0; j < n; ++j) dst[j] = br.mul(src[j], mtq);
     }
     std::vector<u64> targets = c.bsk; targets.push_back(mt);
@@ -536,10 +1128,16 @@ static void to_bsk(const Ctx& c, const u64* poly, u64* out) {
     }
     for (size_t xi = 0; xi < nbsk; ++xi) {
         const u64 x = c.bsk[xi];
-        const Barrett& br = c.bar(x);
         const u64 qmx = c.q_mod_x.at(x), imt = c.inv_mtilde_mod_x.at(x);
         const u64* cv = conv.data() + xi * n;
         u64* o = out + xi * n;
+#ifdef HE_HAVE_AVX512
+        if (vec) {
+            vec_tobsk_final_avx512(o, cv, r_c.data(), n, x, qmx, imt);
+            continue;
+        }
+#endif
+        const Barrett& br = c.bar(x);
         for (u64 j = 0; j < n; ++j) {
             u64 rm = fmod_signed(r_c[j], x);
             u64 num = addmod(cv[j], br.mul(qmx, rm), x);
@@ -552,12 +1150,20 @@ static void to_bsk(const Ctx& c, const u64* poly, u64* out) {
 static void fastbconv_sk(const Ctx& c, const u64* poly, u64* out) {
     const u64 n = c.n, msk = c.m_sk;
     const size_t nB = c.nB, k = c.k;
+#ifdef HE_HAVE_AVX512
+    const bool vec = (n % 8 == 0) && cpu_has_ifma();
+#else
+    const bool vec = false;
+#endif
     std::vector<u64> ys(nB * n);
     for (size_t i = 0; i < nB; ++i) {
-        const Barrett& br = c.bar(c.B[i]);
         const u64 bi = c.b_hat_inv[i];
         const u64* src = poly + i * n;
         u64* dst = ys.data() + i * n;
+#ifdef HE_HAVE_AVX512
+        if (vec) { vec_mulc_avx512(dst, src, n, bi, c.B[i]); continue; }
+#endif
+        const Barrett& br = c.bar(c.B[i]);
         for (u64 j = 0; j < n; ++j) dst[j] = br.mul(src[j], bi);
     }
     // alpha via m_sk
@@ -566,6 +1172,14 @@ static void fastbconv_sk(const Ctx& c, const u64* poly, u64* out) {
     std::vector<i64> alpha_c(n);
     {
         std::vector<u64> acc(n, 0);
+#ifdef HE_HAVE_AVX512
+        if (vec) {
+            for (size_t i = 0; i < nB; ++i)
+                vec_addmulc_avx512(acc.data(), ys.data() + i * n, n, hm[i],
+                                   msk);
+            vec_reduce_avx512(acc.data(), n, msk);
+        } else
+#endif
         for (size_t i = 0; i < nB; ++i) {
             const u64 h = hm[i];
             const u64* y = ys.data() + i * n;
@@ -581,11 +1195,20 @@ static void fastbconv_sk(const Ctx& c, const u64* poly, u64* out) {
     }
     for (size_t qi = 0; qi < k; ++qi) {
         const u64 p = c.qm[qi];
-        const Barrett& br = c.bar(p);
         const std::vector<u64>& hats = c.b_hat_mod_x.at(p);
         const u64 pbq = c.prod_B_mod_q[qi];
         u64* o = out + qi * n;
         std::memset(o, 0, n * sizeof(u64));
+#ifdef HE_HAVE_AVX512
+        if (vec) {
+            for (size_t i = 0; i < nB; ++i)
+                vec_addmulc_avx512(o, ys.data() + i * n, n, hats[i], p);
+            vec_reduce_avx512(o, n, p);
+            vec_subcorr_avx512(o, alpha_c.data(), n, p, pbq);
+            continue;
+        }
+#endif
+        const Barrett& br = c.bar(p);
         for (size_t i = 0; i < nB; ++i) {
             const u64 h = hats[i];
             const u64* y = ys.data() + i * n;
@@ -690,29 +1313,111 @@ void he_mul_plain(void* h, const u64* a, u64 size, const u64* m, u64* out) {
 // out: (2, k, n) coefficient form.
 // ---------------------------------------------------------------------------
 
+// Uniform ternary in {-1,0,1} via 2-bit rejection -- byte-identical stream
+// consumption to sampling.sample_ternary.
+void he_sample_ternary(const uint8_t* seed, u64 domain, u64 n, i64* out) {
+    Xof xof(seed, domain);
+    u64 filled = 0;
+    std::vector<uint8_t> raw;
+    while (filled < n) {
+        const u64 need = n - filled;
+        raw.resize(need + need / 2 + 8);
+        xof.read(raw.data(), raw.size());
+        for (size_t i = 0; i < raw.size() && filled < n; ++i) {
+            const uint8_t v = raw[i] & 3;
+            if (v < 3) out[filled++] = (i64)v - 1;
+        }
+    }
+}
+
+namespace {
+// One CBD draw: sum of kcbd bits minus sum of kcbd bits, MSB-first bit order
+// (np.unpackbits); consumes ceil(2*kcbd*n/8) bytes from the stream.
+static void sample_cbd_once(Xof& xof, u64 n, u64 kcbd, i64* out) {
+    const u64 nbits = 2 * kcbd * n;
+    const u64 nbytes = (nbits + 7) / 8;
+    std::vector<uint8_t> raw(nbytes + 8, 0);     // +8: safe 64-bit windows
+    xof.read(raw.data(), nbytes);
+    if (kcbd <= 21) {
+        // popcount on a 42-bit (2*kcbd <= 42 <= 57-bit) window per coeff
+        for (u64 j = 0; j < n; ++j) {
+            const u64 bit = j * 2 * kcbd;
+            u64 w;
+            std::memcpy(&w, raw.data() + (bit >> 3), 8);
+            w = __builtin_bswap64(w) << (bit & 7);   // MSB-aligned window
+            const u64 pos = (u64)__builtin_popcountll(w >> (64 - kcbd));
+            const u64 neg = (u64)__builtin_popcountll(
+                (w << kcbd) >> (64 - kcbd));
+            out[j] = (i64)pos - (i64)neg;
+        }
+    } else {
+        for (u64 j = 0; j < n; ++j) {
+            i64 s = 0;
+            for (u64 b = 0; b < 2 * kcbd; ++b) {
+                const u64 i = j * 2 * kcbd + b;
+                const int v = (raw[i >> 3] >> (7 - (i & 7))) & 1;
+                s += (b < kcbd) ? v : -v;
+            }
+            out[j] = s;
+        }
+    }
+}
+}  // namespace
+
+// e0 then e1 from ONE error stream (sampling order in NativeEngine.encrypt
+// and golden.encrypt: e0 = sample_cbd(xof); e1 = sample_cbd(xof)).
+void he_sample_cbd_pair(const uint8_t* seed, u64 domain, u64 n, u64 kcbd,
+                        i64* e0, i64* e1) {
+    Xof xof(seed, domain);
+    sample_cbd_once(xof, n, kcbd, e0);
+    sample_cbd_once(xof, n, kcbd, e1);
+}
+
 void he_encrypt(void* h, const u64* m, const i64* u, const i64* e0,
                 const i64* e1, const u64* pk, u64 k_key_stride, u64* out) {
     const Ctx& c = *(const Ctx*)h;
     const u64 n = c.n;
     std::vector<u64> dm(c.k * n), u_ntt(n), c0(n), c1(n);
     scale_plain(c, m, dm.data());
+#ifdef HE_HAVE_AVX512
+    const bool vec = (n % 8 == 0) && cpu_has_ifma();
+#else
+    const bool vec = false;
+#endif
     for (size_t j = 0; j < c.k; ++j) {
         const u64 p = c.qm[j];
         const Table& tb = c.tab(p);
+        const u64* pk0 = pk + (0 * k_key_stride + j) * n;
+        const u64* pk1 = pk + (1 * k_key_stride + j) * n;
+        u64* o0 = out + j * n;
+        u64* o1 = out + (c.k + j) * n;
+        const u64* d = dm.data() + j * n;
+#ifdef HE_HAVE_AVX512
+        if (vec) {
+            vec_signed_mod_avx512(u_ntt.data(), u, n, p);
+            ntt_inplace(tb, u_ntt.data());
+            const u64 r52 = (u64)((((u128)1) << 52) % p);
+            vec_mulc_lazy_avx512(u_ntt.data(), u_ntt.data(), n, r52, p);
+            std::memset(c0.data(), 0, n * sizeof(u64));
+            std::memset(c1.data(), 0, n * sizeof(u64));
+            vec_addmont_avx512(c0.data(), u_ntt.data(), pk0, n, p);
+            vec_addmont_avx512(c1.data(), u_ntt.data(), pk1, n, p);
+            intt_inplace(tb, c0.data());   // accepts < 2p, emits canonical
+            intt_inplace(tb, c1.data());
+            vec_encrypt_final_avx512(o0, c0.data(), e0, d, n, p);
+            vec_encrypt_final_avx512(o1, c1.data(), e1, nullptr, n, p);
+            continue;
+        }
+#endif
         const Barrett& br = c.bar(p);
         for (u64 i = 0; i < n; ++i) u_ntt[i] = fmod_signed(u[i], p);
         ntt_inplace(tb, u_ntt.data());
-        const u64* pk0 = pk + (0 * k_key_stride + j) * n;
-        const u64* pk1 = pk + (1 * k_key_stride + j) * n;
         for (u64 i = 0; i < n; ++i) {
             c0[i] = br.mul(u_ntt[i], pk0[i]);
             c1[i] = br.mul(u_ntt[i], pk1[i]);
         }
         intt_inplace(tb, c0.data());
         intt_inplace(tb, c1.data());
-        u64* o0 = out + j * n;
-        u64* o1 = out + (c.k + j) * n;
-        const u64* d = dm.data() + j * n;
         for (u64 i = 0; i < n; ++i) {
             o0[i] = addmod(addmod(c0[i], fmod_signed(e0[i], p), p), d[i], p);
             o1[i] = addmod(c1[i], fmod_signed(e1[i], p), p);
@@ -811,6 +1516,18 @@ void he_multiply(void* h, const u64* a, const u64* b, u64* out) {
             u64* p0 = prod.data() + (0 * nb + xi) * n;
             u64* p1 = prod.data() + (1 * nb + xi) * n;
             u64* p2 = prod.data() + (2 * nb + xi) * n;
+#ifdef HE_HAVE_AVX512
+            if (n % 8 == 0 && cpu_has_ifma()) {
+                // Montgomery-IFMA products, lazy in [0, 2p); intt_avx512
+                // accepts < 2p inputs and canonicalizes on the way out.
+                vec_dyadic_avx512(a0.data(), a1.data(), b0.data(), b1.data(),
+                                  n, p, p0, p1, p2);
+                intt_inplace(tb, p0);
+                intt_inplace(tb, p1);
+                intt_inplace(tb, p2);
+                continue;
+            }
+#endif
             for (u64 i = 0; i < n; ++i) {
                 p0[i] = br.mul(a0[i], b0[i]);
                 p1[i] = addmod(br.mul(a0[i], b1[i]), br.mul(a1[i], b0[i]), p);
@@ -823,24 +1540,35 @@ void he_multiply(void* h, const u64* a, const u64* b, u64* out) {
     }
 
     // FastFloor + Shenoy-Kumaresan per component
+#ifdef HE_HAVE_AVX512
+    const bool vec = (n % 8 == 0) && cpu_has_ifma();
+#else
+    const bool vec = false;
+#endif
     std::vector<u64> tq(nb * n), conv(nbsk * n), floor_bsk(nbsk * n);
     for (int comp = 0; comp < 3; ++comp) {
         for (size_t xi = 0; xi < nb; ++xi) {
             const u64 p = bases[xi];
-            const Barrett& br = c.bar(p);
             const u64* src = prod.data() + (comp * nb + xi) * n;
             u64* dst = tq.data() + xi * n;
             const u64 tmod = c.t % p;
+#ifdef HE_HAVE_AVX512
+            if (vec) { vec_mulc_avx512(dst, src, n, tmod, p); continue; }
+#endif
+            const Barrett& br = c.bar(p);
             for (u64 i = 0; i < n; ++i) dst[i] = br.mul(src[i], tmod);
         }
         fastbconv_q(c, tq.data(), c.bsk, conv.data());
         for (size_t xi = 0; xi < nbsk; ++xi) {
             const u64 x = c.bsk[xi];
-            const Barrett& br = c.bar(x);
             const u64 iq = c.inv_q_mod_x.at(x);
             const u64* tqx = tq.data() + (k + xi) * n;
             const u64* cv = conv.data() + xi * n;
             u64* fb = floor_bsk.data() + xi * n;
+#ifdef HE_HAVE_AVX512
+            if (vec) { vec_submulc_avx512(fb, tqx, cv, n, iq, x); continue; }
+#endif
+            const Barrett& br = c.bar(x);
             for (u64 i = 0; i < n; ++i)
                 fb[i] = br.mul(submod(tqx[i], cv[i], x), iq);
         }
@@ -856,6 +1584,11 @@ void he_relinearize(void* h, const u64* ct, const u64* rk, u64* out) {
     const Ctx& c = *(const Ctx*)h;
     const u64 n = c.n;
     const size_t k = c.k, kk = c.k_key;
+#ifdef HE_HAVE_AVX512
+    const bool vec = (n % 8 == 0) && cpu_has_ifma();
+#else
+    const bool vec = false;
+#endif
     std::vector<u64> acc(2 * kk * n, 0), dji(n);
     for (size_t j = 0; j < k; ++j) {
         const u64* dj = ct + (2 * k + j) * n;
@@ -863,12 +1596,27 @@ void he_relinearize(void* h, const u64* ct, const u64* rk, u64* out) {
             const u64 p = c.keym[i];
             const Table& tb = c.tab(p);
             const Barrett& br = c.bar(p);
-            for (u64 x = 0; x < n; ++x) dji[x] = br.reduce64(dj[x]);
-            ntt_inplace(tb, dji.data());
             const u64* rk0 = rk + ((j * 2 + 0) * kk + i) * n;
             const u64* rk1 = rk + ((j * 2 + 1) * kk + i) * n;
             u64* a0 = acc.data() + (0 * kk + i) * n;
             u64* a1 = acc.data() + (1 * kk + i) * n;
+#ifdef HE_HAVE_AVX512
+            if (vec) {
+                // dj < q_j < 2^37 fits the 52-bit domain directly.
+                std::memcpy(dji.data(), dj, n * sizeof(u64));
+                vec_reduce_avx512(dji.data(), n, p);
+                ntt_inplace(tb, dji.data());
+                // Montgomery inner product: lift dji by 2^52 once, then
+                // accumulate k <= 4 lazy (< 2p) terms per component.
+                const u64 r52 = (u64)((((u128)1) << 52) % p);
+                vec_mulc_lazy_avx512(dji.data(), dji.data(), n, r52, p);
+                vec_addmont_avx512(a0, dji.data(), rk0, n, p);
+                vec_addmont_avx512(a1, dji.data(), rk1, n, p);
+                continue;
+            }
+#endif
+            for (u64 x = 0; x < n; ++x) dji[x] = br.reduce64(dj[x]);
+            ntt_inplace(tb, dji.data());
             for (u64 x = 0; x < n; ++x) {
                 a0[x] = addmod(a0[x], br.mul(dji[x], rk0[x]), p);
                 a1[x] = addmod(a1[x], br.mul(dji[x], rk1[x]), p);
@@ -877,8 +1625,16 @@ void he_relinearize(void* h, const u64* ct, const u64* rk, u64* out) {
     }
     for (size_t i = 0; i < kk; ++i) {
         const Table& tb = c.tab(c.keym[i]);
-        intt_inplace(tb, acc.data() + (0 * kk + i) * n);
-        intt_inplace(tb, acc.data() + (1 * kk + i) * n);
+        u64* a0 = acc.data() + (0 * kk + i) * n;
+        u64* a1 = acc.data() + (1 * kk + i) * n;
+#ifdef HE_HAVE_AVX512
+        if (vec) {   // lazy accumulators (< 8p) -> canonical before intt
+            vec_reduce_avx512(a0, n, c.keym[i]);
+            vec_reduce_avx512(a1, n, c.keym[i]);
+        }
+#endif
+        intt_inplace(tb, a0);
+        intt_inplace(tb, a1);
     }
     // divide by the special prime P with rounding (golden.relinearize)
     const u64 P = c.P, half = c.P_half;

@@ -107,6 +107,35 @@ def test_other_presets_bitexact(params):
         assert _eq(eng.decrypt(v, sk), ctx.decrypt(v, sk))
 
 
+def test_native_samplers_match_python(setup):
+    """C++ BLAKE2b XOF + ternary/CBD samplers == sampling.py streams.
+
+    The native engine samples encryption randomness in C++
+    (host_engine.cpp he_sample_*); consensus requires the exact byte
+    streams of sampling.Blake2Xof / sample_ternary / sample_cbd.
+    """
+    import ctypes
+
+    from fhe_precompiles_tpu.native.engine import _i64p, _load
+    from fhe_precompiles_tpu.sampling import (
+        CBD_K, DOMAIN_ERROR, DOMAIN_TERNARY, Blake2Xof, sample_cbd,
+        sample_ternary)
+
+    lib = _load()
+    for n in (1024, 4096, 8192):
+        for seed in (b"\x00" * 64, bytes(range(64)), b"\xff" * 64):
+            u = np.empty(n, dtype=np.int64)
+            e0 = np.empty(n, dtype=np.int64)
+            e1 = np.empty(n, dtype=np.int64)
+            lib.he_sample_ternary(seed, DOMAIN_TERNARY, n, _i64p(u))
+            lib.he_sample_cbd_pair(seed, DOMAIN_ERROR, n, CBD_K,
+                                   _i64p(e0), _i64p(e1))
+            assert _eq(u, sample_ternary(Blake2Xof(seed, DOMAIN_TERNARY), n))
+            xof = Blake2Xof(seed, DOMAIN_ERROR)
+            assert _eq(e0, sample_cbd(xof, n))
+            assert _eq(e1, sample_cbd(xof, n))
+
+
 def test_randomized_mul_chain(setup):
     """Depth-2 chain: engine outputs feed back in, staying bit-exact."""
     ctx, eng, pk, sk, m, (c0, c1, c2) = setup
