@@ -136,6 +136,44 @@ def test_native_samplers_match_python(setup):
             assert _eq(e1, sample_cbd(xof, n))
 
 
+def test_error_codes_through_native_app():
+    """Engine-reached error families return the reference codes under
+    engine="native" (parser-level codes 1/3 never reach the engine and are
+    pinned engine-independently in test_error_code_matrix.py)."""
+    import hashlib
+
+    from fhe_precompiles_tpu import FheApp, pack
+    from fhe_precompiles_tpu.app import _CT_CODEC
+    from fhe_precompiles_tpu.encoding import PLAIN_TYPES
+    from fhe_precompiles_tpu.testnet import one
+
+    FHE = one.FHE
+    app = FheApp(FHE.params, engine="native")
+    pk, sk = FHE.generate_keys()          # user keys, not the network key
+
+    # wrong-key decrypt -> FailedDecryption (5); fhe.rs:644
+    ct = FHE.ctx.encrypt(PLAIN_TYPES["u64"].encode(3, FHE.params), pk,
+                         hashlib.sha512(b"w").digest())
+    data = pack.pack_one_argument(ct, _CT_CODEC)
+    assert app.call("decrypt_u64", data)[0] == 5
+
+    # decode overflow after a valid decrypt -> 5 (fhe.rs:696 catch-all)
+    big = FHE.ctx.encrypt(
+        PLAIN_TYPES["u256"].encode((1 << 200), FHE.params),
+        FHE.public_key, hashlib.sha512(b"o").digest())
+    data = pack.pack_one_argument(big, _CT_CODEC)
+    assert app.call("decrypt_u64", data)[0] == 5
+
+    # mul with a relin-less pk -> SunscreenError (7); add still fine
+    import dataclasses
+    pk_norelin = dataclasses.replace(pk, relin=None)
+    a = FHE.ctx.encrypt(PLAIN_TYPES["u64"].encode(2, FHE.params), pk,
+                        hashlib.sha512(b"a").digest())
+    data = pack.pack_binary_operation(pk_norelin, a, _CT_CODEC, a, _CT_CODEC)
+    assert app.call("mul_cipheru64_cipheru64", data)[0] == 7
+    assert app.call("add_cipheru64_cipheru64", data)[0] == 0
+
+
 def test_randomized_mul_chain(setup):
     """Depth-2 chain: engine outputs feed back in, staying bit-exact."""
     ctx, eng, pk, sk, m, (c0, c1, c2) = setup
