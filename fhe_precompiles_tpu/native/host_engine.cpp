@@ -476,6 +476,7 @@ HE_AVX512_FN static void ntt_avx512(const Table& tb, u64* a) {
         const u64* lw = tb.lane_w[lt].data();
         const u64* lws = tb.lane_ws52[lt].data();
         const __mmask8 himask = (t == 4) ? 0xF0 : (t == 2) ? 0xCC : 0xAA;
+        const bool last = (t == 1);
         for (u64 i = 0; i < n; i += 8) {
             __m512i x = _mm512_loadu_si512(a + i);
             __m512i y = swap_t(x, t);
@@ -488,18 +489,15 @@ HE_AVX512_FN static void ntt_avx512(const Table& tb, u64* a) {
                                  _mm512_loadu_si512(lws + i), vp, mask52);
             __m512i out_lo = _mm512_add_epi64(l, T);
             __m512i out_hi = _mm512_add_epi64(_mm512_sub_epi64(l, T), v2p);
-            _mm512_storeu_si512(a + i,
-                                _mm512_mask_blend_epi64(himask, out_lo, out_hi));
+            __m512i o = _mm512_mask_blend_epi64(himask, out_lo, out_hi);
+            if (last) {       // canonicalize [0, 4p) -> [0, p) in-stage
+                ge = _mm512_cmpge_epu64_mask(o, v2p);
+                o = _mm512_mask_sub_epi64(o, ge, o, v2p);
+                ge = _mm512_cmpge_epu64_mask(o, vp);
+                o = _mm512_mask_sub_epi64(o, ge, o, vp);
+            }
+            _mm512_storeu_si512(a + i, o);
         }
-    }
-    // canonicalize [0, 4p) -> [0, p)
-    for (u64 i = 0; i < n; i += 8) {
-        __m512i x = _mm512_loadu_si512(a + i);
-        __mmask8 ge = _mm512_cmpge_epu64_mask(x, v2p);
-        x = _mm512_mask_sub_epi64(x, ge, x, v2p);
-        ge = _mm512_cmpge_epu64_mask(x, vp);
-        x = _mm512_mask_sub_epi64(x, ge, x, vp);
-        _mm512_storeu_si512(a + i, x);
     }
 }
 
@@ -699,6 +697,49 @@ HE_AVX512_FN static void vec_addmont_avx512(u64* acc, const u64* x,
     }
 }
 
+// out[j] = centered((src[j] * w) mod m): representative in [-m/2, m/2)
+// shifted so that v > m/2 maps to v - m (golden's strict > comparison).
+// 52-bit Shoup with w < m; src < 2^52.
+HE_AVX512_FN static void vec_mulc_center_avx512(i64* out, const u64* src,
+                                                u64 n, u64 w, u64 m) {
+    const u64 ws = shoup52_precompute(w, m);
+    const __m512i vm = _mm512_set1_epi64((long long)m);
+    const __m512i half = _mm512_set1_epi64((long long)(m / 2));
+    const __m512i wv = _mm512_set1_epi64((long long)w);
+    const __m512i wsv = _mm512_set1_epi64((long long)ws);
+    const __m512i mask52 = _mm512_set1_epi64((long long)((1ull << 52) - 1));
+    for (u64 j = 0; j < n; j += 8) {
+        __m512i r = shoup52v(_mm512_loadu_si512(src + j), wv, wsv, vm,
+                             mask52);                           // < 2m
+        __mmask8 ge = _mm512_cmpge_epu64_mask(r, vm);
+        r = _mm512_mask_sub_epi64(r, ge, r, vm);                // canonical
+        __mmask8 gt = _mm512_cmpgt_epi64_mask(r, half);
+        _mm512_storeu_si512(out + j, _mm512_mask_sub_epi64(r, gt, r, vm));
+    }
+}
+
+// out[j] = centered(((a[j] - b[j]) * w) mod m), a, b < m canonical.
+HE_AVX512_FN static void vec_submulc_center_avx512(i64* out, const u64* a,
+                                                   const u64* b, u64 n,
+                                                   u64 w, u64 m) {
+    const u64 ws = shoup52_precompute(w, m);
+    const __m512i vm = _mm512_set1_epi64((long long)m);
+    const __m512i half = _mm512_set1_epi64((long long)(m / 2));
+    const __m512i wv = _mm512_set1_epi64((long long)w);
+    const __m512i wsv = _mm512_set1_epi64((long long)ws);
+    const __m512i mask52 = _mm512_set1_epi64((long long)((1ull << 52) - 1));
+    for (u64 j = 0; j < n; j += 8) {
+        __m512i d = _mm512_add_epi64(
+            _mm512_sub_epi64(_mm512_loadu_si512(a + j),
+                             _mm512_loadu_si512(b + j)), vm);   // < 2m
+        __m512i r = shoup52v(d, wv, wsv, vm, mask52);           // < 2m
+        __mmask8 ge = _mm512_cmpge_epu64_mask(r, vm);
+        r = _mm512_mask_sub_epi64(r, ge, r, vm);
+        __mmask8 gt = _mm512_cmpgt_epi64_mask(r, half);
+        _mm512_storeu_si512(out + j, _mm512_mask_sub_epi64(r, gt, r, vm));
+    }
+}
+
 // to_bsk final per-base step: o = ((cv + qmx * (r_c mod x)) * imt) mod x,
 // with r_c signed and |r_c| <= m_tilde/2 < x.
 HE_AVX512_FN static void vec_tobsk_final_avx512(u64* o, const u64* cv,
@@ -784,6 +825,98 @@ HE_AVX512_FN static void vec_encrypt_final_avx512(u64* o, const u64* base,
             x = _mm512_mask_sub_epi64(x, ge, x, vp);
         }
         _mm512_storeu_si512(o + j, x);
+    }
+}
+
+// Relinearization P-division epilogue for one (component, limb):
+//   o = ct + ((a - (((xP + half) mod P) mod p - halfp)) * invP) mod p
+// with all inputs canonical; exactly golden.relinearize's final loop.
+HE_AVX512_FN static void vec_relin_pdiv_avx512(u64* o, const u64* cti,
+                                               const u64* ai, const u64* xP,
+                                               u64 n, u64 p, u64 P, u64 half,
+                                               u64 halfp, u64 ipq) {
+    const u64 mu = shoup52_precompute(1, p);
+    const u64 is = shoup52_precompute(ipq, p);
+    const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i vP = _mm512_set1_epi64((long long)P);
+    const __m512i vhalf = _mm512_set1_epi64((long long)half);
+    const __m512i vhalfp = _mm512_set1_epi64((long long)halfp);
+    const __m512i one = _mm512_set1_epi64(1);
+    const __m512i muv = _mm512_set1_epi64((long long)mu);
+    const __m512i iv = _mm512_set1_epi64((long long)ipq);
+    const __m512i isv = _mm512_set1_epi64((long long)is);
+    const __m512i mask52 = _mm512_set1_epi64((long long)((1ull << 52) - 1));
+    for (u64 j = 0; j < n; j += 8) {
+        __m512i xph = _mm512_add_epi64(_mm512_loadu_si512(xP + j), vhalf);
+        __mmask8 ge = _mm512_cmpge_epu64_mask(xph, vP);
+        xph = _mm512_mask_sub_epi64(xph, ge, xph, vP);      // mod P < 2^52
+        __m512i r = shoup52v(xph, one, muv, vp, mask52);    // < 2p
+        ge = _mm512_cmpge_epu64_mask(r, vp);
+        r = _mm512_mask_sub_epi64(r, ge, r, vp);            // xph mod p
+        // corr = r - halfp mod p; ti = ai - corr mod p
+        __m512i corr = _mm512_add_epi64(_mm512_sub_epi64(r, vhalfp), vp);
+        ge = _mm512_cmpge_epu64_mask(corr, vp);
+        corr = _mm512_mask_sub_epi64(corr, ge, corr, vp);
+        __m512i ti = _mm512_add_epi64(
+            _mm512_sub_epi64(_mm512_loadu_si512(ai + j), corr), vp);
+        ge = _mm512_cmpge_epu64_mask(ti, vp);
+        ti = _mm512_mask_sub_epi64(ti, ge, ti, vp);
+        __m512i m = shoup52v(ti, iv, isv, vp, mask52);      // < 2p
+        ge = _mm512_cmpge_epu64_mask(m, vp);
+        m = _mm512_mask_sub_epi64(m, ge, m, vp);
+        __m512i res = _mm512_add_epi64(_mm512_loadu_si512(cti + j), m);
+        ge = _mm512_cmpge_epu64_mask(res, vp);
+        _mm512_storeu_si512(o + j, _mm512_mask_sub_epi64(res, ge, res, vp));
+    }
+}
+
+// Plaintext Delta-scaling for one limb:
+//   o = (d * (m mod p) + ((q_mod_t * m + t/2) / t) mod p) mod p
+// The exact floor division by t uses mu = floor(2^52/t) with a one-step
+// correction (x < 2^52, so the estimate is off by at most 1).
+HE_AVX512_FN static void vec_scale_plain_avx512(u64* o, const u64* m, u64 n,
+                                                u64 p, u64 d, u64 q_mod_t,
+                                                u64 t) {
+    const u64 ds = shoup52_precompute(d, p);
+    const u64 mu_p = shoup52_precompute(1, p);
+    const u64 mu_t = (u64)((((u128)1) << 52) / t);
+    const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i vt = _mm512_set1_epi64((long long)t);
+    const __m512i vt2 = _mm512_set1_epi64((long long)(t / 2));
+    const __m512i vq = _mm512_set1_epi64((long long)q_mod_t);
+    const __m512i dv = _mm512_set1_epi64((long long)d);
+    const __m512i dsv = _mm512_set1_epi64((long long)ds);
+    const __m512i one = _mm512_set1_epi64(1);
+    const __m512i mupv = _mm512_set1_epi64((long long)mu_p);
+    const __m512i mutv = _mm512_set1_epi64((long long)mu_t);
+    const __m512i z = _mm512_setzero_si512();
+    const __m512i mask52 = _mm512_set1_epi64((long long)((1ull << 52) - 1));
+    for (u64 j = 0; j < n; j += 8) {
+        __m512i mv = _mm512_loadu_si512(m + j);             // < t <= 2^37
+        // x = q_mod_t * m + t/2 (exact: < t^2 + t/2 < 2^52 via lo52)
+        __m512i x = _mm512_madd52lo_epu64(vt2, vq, mv);
+        // fix = floor(x / t): estimate then correct once
+        __m512i qest = _mm512_madd52hi_epu64(z, x, mutv);
+        __m512i rem = _mm512_sub_epi64(
+            x, _mm512_madd52lo_epu64(z, qest, vt));
+        rem = _mm512_and_si512(rem, mask52);
+        __mmask8 ge = _mm512_cmpge_epu64_mask(rem, vt);
+        __m512i fix = _mm512_mask_add_epi64(qest, ge, qest, one);
+        // fix < t; fix mod p (fix may exceed p only if t > p: reduce52)
+        __m512i fr = shoup52v(fix, one, mupv, vp, mask52);
+        ge = _mm512_cmpge_epu64_mask(fr, vp);
+        fr = _mm512_mask_sub_epi64(fr, ge, fr, vp);
+        // mr = m mod p
+        __m512i mr = shoup52v(mv, one, mupv, vp, mask52);
+        ge = _mm512_cmpge_epu64_mask(mr, vp);
+        mr = _mm512_mask_sub_epi64(mr, ge, mr, vp);
+        // o = d * mr + fr mod p
+        __m512i dm = shoup52v(mr, dv, dsv, vp, mask52);
+        ge = _mm512_cmpge_epu64_mask(dm, vp);
+        dm = _mm512_mask_sub_epi64(dm, ge, dm, vp);
+        __m512i res = _mm512_add_epi64(dm, fr);
+        ge = _mm512_cmpge_epu64_mask(res, vp);
+        _mm512_storeu_si512(o + j, _mm512_mask_sub_epi64(res, ge, res, vp));
     }
 }
 
@@ -1033,14 +1166,38 @@ namespace {
 // internal op helpers (array layouts match golden.py numpy arrays)
 // ---------------------------------------------------------------------------
 
+// Per-thread reusable scratch: fresh std::vector allocations cost more than
+// the NTTs themselves at n=4096 (zero-fill + mmap page churn, measured
+// ~0.5 ms per multiply).  Each call site owns a distinct slot; two sites
+// share a slot only if they can never be live in the same call tree.
+//   0-5   he_multiply: ea, eb, prod, tq, conv, floor_bsk
+//   6-7   to_bsk: scaled, conv
+//   8     fastbconv_q: ys
+//   9-11  fastbconv_sk: ys, acc, alpha(i64)
+//   12    to_bsk: r_c(i64)
+//   13-14 he_relinearize: acc, dji
+//   15-18 he_decrypt: dot, acc, term, cur | he_encrypt: dm, u_ntt, c0, c1
+static u64* scratch(unsigned slot, size_t count) {
+    thread_local std::vector<u64> pool[20];
+    auto& v = pool[slot];
+    if (v.size() < count) v.resize(count);
+    return v.data();
+}
+
 // round(q*m/t) mod each q_j: (n,) mod-t -> (k, n)   (golden._scale_plain)
 static void scale_plain(const Ctx& c, const u64* m, u64* out) {
     const u64 n = c.n, t = c.t, t2 = t / 2;
     for (size_t j = 0; j < c.k; ++j) {
         const u64 p = c.qm[j];
-        const Barrett& br = c.bar(p);
         const u64 d = c.delta_mod_q[j];
         u64* o = out + j * n;
+#ifdef HE_HAVE_AVX512
+        if (n % 8 == 0 && t < (1ull << 26) && cpu_has_ifma()) {
+            vec_scale_plain_avx512(o, m, n, p, d, c.q_mod_t, t);
+            continue;
+        }
+#endif
+        const Barrett& br = c.bar(p);
         for (u64 i = 0; i < n; ++i) {
             u64 fix = (c.q_mod_t * m[i] + t2) / t;   // < t (exact identity)
             o[i] = addmod(br.mul(d, m[i] % p), fix % p, p);
@@ -1053,11 +1210,11 @@ static void fastbconv_q(const Ctx& c, const u64* poly,
                         const std::vector<u64>& targets, u64* out) {
     const u64 n = c.n;
     const size_t k = c.k;
-    std::vector<u64> ys(k * n);
+    u64* ys = scratch(8, k * n);
 #ifdef HE_HAVE_AVX512
     if (n % 8 == 0 && cpu_has_ifma()) {
         for (size_t i = 0; i < k; ++i)
-            vec_mulc_avx512(ys.data() + i * n, poly + i * n, n,
+            vec_mulc_avx512(ys + i * n, poly + i * n, n,
                             c.q_hat_inv[i], c.qm[i]);
         for (size_t xi = 0; xi < targets.size(); ++xi) {
             const u64 x = targets[xi];
@@ -1067,7 +1224,7 @@ static void fastbconv_q(const Ctx& c, const u64* poly,
             // 52-bit Shoup accepts any y < 2^52, subsuming the scalar
             // path's cross-base reduce64; k <= 4 lazy terms < 2x each.
             for (size_t i = 0; i < k; ++i)
-                vec_addmulc_avx512(o, ys.data() + i * n, n, hats[i], x);
+                vec_addmulc_avx512(o, ys + i * n, n, hats[i], x);
             vec_reduce_avx512(o, n, x);
         }
         return;
@@ -1077,7 +1234,7 @@ static void fastbconv_q(const Ctx& c, const u64* poly,
         const Barrett& br = c.bar(c.qm[i]);
         const u64 qi = c.q_hat_inv[i];
         const u64* src = poly + i * n;
-        u64* dst = ys.data() + i * n;
+        u64* dst = ys + i * n;
         for (u64 j = 0; j < n; ++j) dst[j] = br.mul(src[j], qi);
     }
     for (size_t xi = 0; xi < targets.size(); ++xi) {
@@ -1088,7 +1245,7 @@ static void fastbconv_q(const Ctx& c, const u64* poly,
         std::memset(o, 0, n * sizeof(u64));
         for (size_t i = 0; i < k; ++i) {
             const u64 h = hats[i];
-            const u64* y = ys.data() + i * n;
+            const u64* y = ys + i * n;
             // y values live mod q_i which may exceed x: pre-reduce
             for (u64 j = 0; j < n; ++j)
                 o[j] = addmod(o[j], br.mul(br.reduce64(y[j]), h), x);
@@ -1100,7 +1257,7 @@ static void fastbconv_q(const Ctx& c, const u64* poly,
 static void to_bsk(const Ctx& c, const u64* poly, u64* out) {
     const u64 n = c.n, mt = c.m_tilde;
     const size_t k = c.k, nbsk = c.bsk.size();
-    std::vector<u64> scaled(k * n);
+    u64* scaled = scratch(6, k * n);
 #ifdef HE_HAVE_AVX512
     const bool vec = (n % 8 == 0) && cpu_has_ifma();
 #else
@@ -1109,7 +1266,7 @@ static void to_bsk(const Ctx& c, const u64* poly, u64* out) {
     for (size_t i = 0; i < k; ++i) {
         const u64 mtq = c.mtilde_mod_q[i];
         const u64* src = poly + i * n;
-        u64* dst = scaled.data() + i * n;
+        u64* dst = scaled + i * n;
 #ifdef HE_HAVE_AVX512
         if (vec) { vec_mulc_avx512(dst, src, n, mtq, c.qm[i]); continue; }
 #endif
@@ -1117,23 +1274,30 @@ static void to_bsk(const Ctx& c, const u64* poly, u64* out) {
         for (u64 j = 0; j < n; ++j) dst[j] = br.mul(src[j], mtq);
     }
     std::vector<u64> targets = c.bsk; targets.push_back(mt);
-    std::vector<u64> conv((nbsk + 1) * n);
-    fastbconv_q(c, scaled.data(), targets, conv.data());
-    const u64* c_mt = conv.data() + nbsk * n;
-    const Barrett& brmt = c.bar(mt);
-    std::vector<i64> r_c(n);
-    for (u64 j = 0; j < n; ++j) {
-        u64 r = brmt.mul(c_mt[j], c.neg_inv_q_mod_mtilde);
-        r_c[j] = (i64)r > (i64)(mt / 2) ? (i64)r - (i64)mt : (i64)r;
+    u64* conv = scratch(7, (nbsk + 1) * n);
+    fastbconv_q(c, scaled, targets, conv);
+    const u64* c_mt = conv + nbsk * n;
+    i64* r_c = (i64*)scratch(12, n);
+#ifdef HE_HAVE_AVX512
+    if (vec && mt <= (1ull << 37)) {
+        vec_mulc_center_avx512(r_c, c_mt, n, c.neg_inv_q_mod_mtilde, mt);
+    } else
+#endif
+    {
+        const Barrett& brmt = c.bar(mt);
+        for (u64 j = 0; j < n; ++j) {
+            u64 r = brmt.mul(c_mt[j], c.neg_inv_q_mod_mtilde);
+            r_c[j] = (i64)r > (i64)(mt / 2) ? (i64)r - (i64)mt : (i64)r;
+        }
     }
     for (size_t xi = 0; xi < nbsk; ++xi) {
         const u64 x = c.bsk[xi];
         const u64 qmx = c.q_mod_x.at(x), imt = c.inv_mtilde_mod_x.at(x);
-        const u64* cv = conv.data() + xi * n;
+        const u64* cv = conv + xi * n;
         u64* o = out + xi * n;
 #ifdef HE_HAVE_AVX512
         if (vec) {
-            vec_tobsk_final_avx512(o, cv, r_c.data(), n, x, qmx, imt);
+            vec_tobsk_final_avx512(o, cv, r_c, n, x, qmx, imt);
             continue;
         }
 #endif
@@ -1155,11 +1319,11 @@ static void fastbconv_sk(const Ctx& c, const u64* poly, u64* out) {
 #else
     const bool vec = false;
 #endif
-    std::vector<u64> ys(nB * n);
+    u64* ys = scratch(9, nB * n);
     for (size_t i = 0; i < nB; ++i) {
         const u64 bi = c.b_hat_inv[i];
         const u64* src = poly + i * n;
-        u64* dst = ys.data() + i * n;
+        u64* dst = ys + i * n;
 #ifdef HE_HAVE_AVX512
         if (vec) { vec_mulc_avx512(dst, src, n, bi, c.B[i]); continue; }
 #endif
@@ -1169,28 +1333,34 @@ static void fastbconv_sk(const Ctx& c, const u64* poly, u64* out) {
     // alpha via m_sk
     const Barrett& brm = c.bar(msk);
     const std::vector<u64>& hm = c.b_hat_mod_x.at(msk);
-    std::vector<i64> alpha_c(n);
+    i64* alpha_c = (i64*)scratch(11, n);
     {
-        std::vector<u64> acc(n, 0);
+        u64* acc = scratch(10, n);
+        std::memset(acc, 0, n * sizeof(u64));
+        const u64* pmsk = poly + nB * n;
 #ifdef HE_HAVE_AVX512
         if (vec) {
             for (size_t i = 0; i < nB; ++i)
-                vec_addmulc_avx512(acc.data(), ys.data() + i * n, n, hm[i],
-                                   msk);
-            vec_reduce_avx512(acc.data(), n, msk);
+                vec_addmulc_avx512(acc, ys + i * n, n, hm[i], msk);
+            vec_reduce_avx512(acc, n, msk);
+            vec_submulc_center_avx512(alpha_c, acc, pmsk, n,
+                                      c.inv_prod_B_mod_msk, msk);
         } else
 #endif
-        for (size_t i = 0; i < nB; ++i) {
-            const u64 h = hm[i];
-            const u64* y = ys.data() + i * n;
-            for (u64 j = 0; j < n; ++j)
-                acc[j] = addmod(acc[j], brm.mul(brm.reduce64(y[j]), h), msk);
-        }
-        const u64* pmsk = poly + nB * n;
-        for (u64 j = 0; j < n; ++j) {
-            u64 a = brm.mul(submod(acc[j], pmsk[j], msk),
-                            c.inv_prod_B_mod_msk);
-            alpha_c[j] = (i64)a > (i64)(msk / 2) ? (i64)a - (i64)msk : (i64)a;
+        {
+            for (size_t i = 0; i < nB; ++i) {
+                const u64 h = hm[i];
+                const u64* y = ys + i * n;
+                for (u64 j = 0; j < n; ++j)
+                    acc[j] = addmod(acc[j],
+                                    brm.mul(brm.reduce64(y[j]), h), msk);
+            }
+            for (u64 j = 0; j < n; ++j) {
+                u64 a = brm.mul(submod(acc[j], pmsk[j], msk),
+                                c.inv_prod_B_mod_msk);
+                alpha_c[j] =
+                    (i64)a > (i64)(msk / 2) ? (i64)a - (i64)msk : (i64)a;
+            }
         }
     }
     for (size_t qi = 0; qi < k; ++qi) {
@@ -1202,16 +1372,16 @@ static void fastbconv_sk(const Ctx& c, const u64* poly, u64* out) {
 #ifdef HE_HAVE_AVX512
         if (vec) {
             for (size_t i = 0; i < nB; ++i)
-                vec_addmulc_avx512(o, ys.data() + i * n, n, hats[i], p);
+                vec_addmulc_avx512(o, ys + i * n, n, hats[i], p);
             vec_reduce_avx512(o, n, p);
-            vec_subcorr_avx512(o, alpha_c.data(), n, p, pbq);
+            vec_subcorr_avx512(o, alpha_c, n, p, pbq);
             continue;
         }
 #endif
         const Barrett& br = c.bar(p);
         for (size_t i = 0; i < nB; ++i) {
             const u64 h = hats[i];
-            const u64* y = ys.data() + i * n;
+            const u64* y = ys + i * n;
             for (u64 j = 0; j < n; ++j)
                 o[j] = addmod(o[j], br.mul(br.reduce64(y[j]), h), p);
         }
@@ -1377,8 +1547,11 @@ void he_encrypt(void* h, const u64* m, const i64* u, const i64* e0,
                 const i64* e1, const u64* pk, u64 k_key_stride, u64* out) {
     const Ctx& c = *(const Ctx*)h;
     const u64 n = c.n;
-    std::vector<u64> dm(c.k * n), u_ntt(n), c0(n), c1(n);
-    scale_plain(c, m, dm.data());
+    u64* dm = scratch(15, c.k * n);
+    u64* u_ntt = scratch(16, n);
+    u64* c0 = scratch(17, n);
+    u64* c1 = scratch(18, n);
+    scale_plain(c, m, dm);
 #ifdef HE_HAVE_AVX512
     const bool vec = (n % 8 == 0) && cpu_has_ifma();
 #else
@@ -1391,33 +1564,33 @@ void he_encrypt(void* h, const u64* m, const i64* u, const i64* e0,
         const u64* pk1 = pk + (1 * k_key_stride + j) * n;
         u64* o0 = out + j * n;
         u64* o1 = out + (c.k + j) * n;
-        const u64* d = dm.data() + j * n;
+        const u64* d = dm + j * n;
 #ifdef HE_HAVE_AVX512
         if (vec) {
-            vec_signed_mod_avx512(u_ntt.data(), u, n, p);
-            ntt_inplace(tb, u_ntt.data());
+            vec_signed_mod_avx512(u_ntt, u, n, p);
+            ntt_inplace(tb, u_ntt);
             const u64 r52 = (u64)((((u128)1) << 52) % p);
-            vec_mulc_lazy_avx512(u_ntt.data(), u_ntt.data(), n, r52, p);
-            std::memset(c0.data(), 0, n * sizeof(u64));
-            std::memset(c1.data(), 0, n * sizeof(u64));
-            vec_addmont_avx512(c0.data(), u_ntt.data(), pk0, n, p);
-            vec_addmont_avx512(c1.data(), u_ntt.data(), pk1, n, p);
-            intt_inplace(tb, c0.data());   // accepts < 2p, emits canonical
-            intt_inplace(tb, c1.data());
-            vec_encrypt_final_avx512(o0, c0.data(), e0, d, n, p);
-            vec_encrypt_final_avx512(o1, c1.data(), e1, nullptr, n, p);
+            vec_mulc_lazy_avx512(u_ntt, u_ntt, n, r52, p);
+            std::memset(c0, 0, n * sizeof(u64));
+            std::memset(c1, 0, n * sizeof(u64));
+            vec_addmont_avx512(c0, u_ntt, pk0, n, p);
+            vec_addmont_avx512(c1, u_ntt, pk1, n, p);
+            intt_inplace(tb, c0);   // accepts < 2p, emits canonical
+            intt_inplace(tb, c1);
+            vec_encrypt_final_avx512(o0, c0, e0, d, n, p);
+            vec_encrypt_final_avx512(o1, c1, e1, nullptr, n, p);
             continue;
         }
 #endif
         const Barrett& br = c.bar(p);
         for (u64 i = 0; i < n; ++i) u_ntt[i] = fmod_signed(u[i], p);
-        ntt_inplace(tb, u_ntt.data());
+        ntt_inplace(tb, u_ntt);
         for (u64 i = 0; i < n; ++i) {
             c0[i] = br.mul(u_ntt[i], pk0[i]);
             c1[i] = br.mul(u_ntt[i], pk1[i]);
         }
-        intt_inplace(tb, c0.data());
-        intt_inplace(tb, c1.data());
+        intt_inplace(tb, c0);
+        intt_inplace(tb, c1);
         for (u64 i = 0; i < n; ++i) {
             o0[i] = addmod(addmod(c0[i], fmod_signed(e0[i], p), p), d[i], p);
             o1[i] = addmod(c1[i], fmod_signed(e1[i], p), p);
@@ -1434,27 +1607,29 @@ void he_encrypt(void* h, const u64* m, const i64* u, const i64* e0,
 void he_decrypt(void* h, const u64* ct, u64 size, const u64* s_ntt, u64* out) {
     const Ctx& c = *(const Ctx*)h;
     const u64 n = c.n;
-    std::vector<u64> dot(c.k * n);
-    std::vector<u64> acc(n), term(n), cur(n);
+    u64* dot = scratch(15, c.k * n);
+    u64* acc = scratch(16, n);
+    u64* term = scratch(17, n);
+    u64* cur = scratch(18, n);
     for (size_t j = 0; j < c.k; ++j) {
         const u64 p = c.qm[j];
         const Table& tb = c.tab(p);
         const Barrett& br = c.bar(p);
         const u64* s = s_ntt + j * n;
-        std::memcpy(cur.data(), s, n * sizeof(u64));
-        std::memset(acc.data(), 0, n * sizeof(u64));
+        std::memcpy(cur, s, n * sizeof(u64));
+        std::memset(acc, 0, n * sizeof(u64));
         for (u64 comp = 1; comp < size; ++comp) {
-            std::memcpy(term.data(), ct + (comp * c.k + j) * n,
+            std::memcpy(term, ct + (comp * c.k + j) * n,
                         n * sizeof(u64));
-            ntt_inplace(tb, term.data());
+            ntt_inplace(tb, term);
             for (u64 i = 0; i < n; ++i)
                 acc[i] = addmod(acc[i], br.mul(term[i], cur[i]), p);
             if (comp + 1 < size)
                 for (u64 i = 0; i < n; ++i) cur[i] = br.mul(cur[i], s[i]);
         }
-        intt_inplace(tb, acc.data());
+        intt_inplace(tb, acc);
         const u64* c0 = ct + j * n;
-        u64* d = dot.data() + j * n;
+        u64* d = dot + j * n;
         for (u64 i = 0; i < n; ++i) d[i] = addmod(c0[i], acc[i], p);
     }
     // exact CRT compose + round(t*x/q) mod t (golden._message_from_dot)
@@ -1487,56 +1662,54 @@ void he_multiply(void* h, const u64* a, const u64* b, u64* out) {
     for (u64 x : c.bsk) bases.push_back(x);
 
     // extend both operands into q + Bsk residues (golden.multiply extend())
-    std::vector<u64> ea(2 * nb * n), eb(2 * nb * n);
+    u64* ea = scratch(0, 2 * nb * n);
+    u64* eb = scratch(1, 2 * nb * n);
     for (int comp = 0; comp < 2; ++comp) {
-        std::memcpy(ea.data() + comp * nb * n, a + comp * k * n,
+        std::memcpy(ea + comp * nb * n, a + comp * k * n,
                     k * n * sizeof(u64));
-        std::memcpy(eb.data() + comp * nb * n, b + comp * k * n,
+        std::memcpy(eb + comp * nb * n, b + comp * k * n,
                     k * n * sizeof(u64));
-        to_bsk(c, a + comp * k * n, ea.data() + (comp * nb + k) * n);
-        to_bsk(c, b + comp * k * n, eb.data() + (comp * nb + k) * n);
+        to_bsk(c, a + comp * k * n, ea + (comp * nb + k) * n);
+        to_bsk(c, b + comp * k * n, eb + (comp * nb + k) * n);
     }
 
-    // tensor products per base, NTT domain (schoolbook, as golden)
-    std::vector<u64> prod(3 * nb * n);
-    {
-        std::vector<u64> a0(n), a1(n), b0(n), b1(n), tmp(n);
-        for (size_t xi = 0; xi < nb; ++xi) {
-            const u64 p = bases[xi];
-            const Table& tb = c.tab(p);
-            const Barrett& br = c.bar(p);
-            std::memcpy(a0.data(), ea.data() + (0 * nb + xi) * n, n * 8);
-            std::memcpy(a1.data(), ea.data() + (1 * nb + xi) * n, n * 8);
-            std::memcpy(b0.data(), eb.data() + (0 * nb + xi) * n, n * 8);
-            std::memcpy(b1.data(), eb.data() + (1 * nb + xi) * n, n * 8);
-            ntt_inplace(tb, a0.data());
-            ntt_inplace(tb, a1.data());
-            ntt_inplace(tb, b0.data());
-            ntt_inplace(tb, b1.data());
-            u64* p0 = prod.data() + (0 * nb + xi) * n;
-            u64* p1 = prod.data() + (1 * nb + xi) * n;
-            u64* p2 = prod.data() + (2 * nb + xi) * n;
+    // tensor products per base, NTT domain (schoolbook, as golden).
+    // ea/eb are dead after this stage, so the NTTs run in place on them.
+    u64* prod = scratch(2, 3 * nb * n);
+    for (size_t xi = 0; xi < nb; ++xi) {
+        const u64 p = bases[xi];
+        const Table& tb = c.tab(p);
+        const Barrett& br = c.bar(p);
+        u64* a0 = ea + (0 * nb + xi) * n;
+        u64* a1 = ea + (1 * nb + xi) * n;
+        u64* b0 = eb + (0 * nb + xi) * n;
+        u64* b1 = eb + (1 * nb + xi) * n;
+        ntt_inplace(tb, a0);
+        ntt_inplace(tb, a1);
+        ntt_inplace(tb, b0);
+        ntt_inplace(tb, b1);
+        u64* p0 = prod + (0 * nb + xi) * n;
+        u64* p1 = prod + (1 * nb + xi) * n;
+        u64* p2 = prod + (2 * nb + xi) * n;
 #ifdef HE_HAVE_AVX512
-            if (n % 8 == 0 && cpu_has_ifma()) {
-                // Montgomery-IFMA products, lazy in [0, 2p); intt_avx512
-                // accepts < 2p inputs and canonicalizes on the way out.
-                vec_dyadic_avx512(a0.data(), a1.data(), b0.data(), b1.data(),
-                                  n, p, p0, p1, p2);
-                intt_inplace(tb, p0);
-                intt_inplace(tb, p1);
-                intt_inplace(tb, p2);
-                continue;
-            }
-#endif
-            for (u64 i = 0; i < n; ++i) {
-                p0[i] = br.mul(a0[i], b0[i]);
-                p1[i] = addmod(br.mul(a0[i], b1[i]), br.mul(a1[i], b0[i]), p);
-                p2[i] = br.mul(a1[i], b1[i]);
-            }
+        if (n % 8 == 0 && cpu_has_ifma()) {
+            // Montgomery-IFMA products, lazy in [0, 2p); intt_avx512
+            // accepts < 2p inputs and canonicalizes on the way out.
+            vec_dyadic_avx512(a0, a1, b0, b1, n, p, p0, p1, p2);
             intt_inplace(tb, p0);
             intt_inplace(tb, p1);
             intt_inplace(tb, p2);
+            continue;
         }
+#endif
+        for (u64 i = 0; i < n; ++i) {
+            p0[i] = br.mul(a0[i], b0[i]);
+            p1[i] = addmod(br.mul(a0[i], b1[i]), br.mul(a1[i], b0[i]), p);
+            p2[i] = br.mul(a1[i], b1[i]);
+        }
+        intt_inplace(tb, p0);
+        intt_inplace(tb, p1);
+        intt_inplace(tb, p2);
     }
 
     // FastFloor + Shenoy-Kumaresan per component
@@ -1545,12 +1718,14 @@ void he_multiply(void* h, const u64* a, const u64* b, u64* out) {
 #else
     const bool vec = false;
 #endif
-    std::vector<u64> tq(nb * n), conv(nbsk * n), floor_bsk(nbsk * n);
+    u64* tq = scratch(3, nb * n);
+    u64* conv = scratch(4, nbsk * n);
+    u64* floor_bsk = scratch(5, nbsk * n);
     for (int comp = 0; comp < 3; ++comp) {
         for (size_t xi = 0; xi < nb; ++xi) {
             const u64 p = bases[xi];
-            const u64* src = prod.data() + (comp * nb + xi) * n;
-            u64* dst = tq.data() + xi * n;
+            const u64* src = prod + (comp * nb + xi) * n;
+            u64* dst = tq + xi * n;
             const u64 tmod = c.t % p;
 #ifdef HE_HAVE_AVX512
             if (vec) { vec_mulc_avx512(dst, src, n, tmod, p); continue; }
@@ -1558,13 +1733,13 @@ void he_multiply(void* h, const u64* a, const u64* b, u64* out) {
             const Barrett& br = c.bar(p);
             for (u64 i = 0; i < n; ++i) dst[i] = br.mul(src[i], tmod);
         }
-        fastbconv_q(c, tq.data(), c.bsk, conv.data());
+        fastbconv_q(c, tq, c.bsk, conv);
         for (size_t xi = 0; xi < nbsk; ++xi) {
             const u64 x = c.bsk[xi];
             const u64 iq = c.inv_q_mod_x.at(x);
-            const u64* tqx = tq.data() + (k + xi) * n;
-            const u64* cv = conv.data() + xi * n;
-            u64* fb = floor_bsk.data() + xi * n;
+            const u64* tqx = tq + (k + xi) * n;
+            const u64* cv = conv + xi * n;
+            u64* fb = floor_bsk + xi * n;
 #ifdef HE_HAVE_AVX512
             if (vec) { vec_submulc_avx512(fb, tqx, cv, n, iq, x); continue; }
 #endif
@@ -1572,7 +1747,7 @@ void he_multiply(void* h, const u64* a, const u64* b, u64* out) {
             for (u64 i = 0; i < n; ++i)
                 fb[i] = br.mul(submod(tqx[i], cv[i], x), iq);
         }
-        fastbconv_sk(c, floor_bsk.data(), out + comp * k * n);
+        fastbconv_sk(c, floor_bsk, out + comp * k * n);
     }
 }
 
@@ -1589,7 +1764,9 @@ void he_relinearize(void* h, const u64* ct, const u64* rk, u64* out) {
 #else
     const bool vec = false;
 #endif
-    std::vector<u64> acc(2 * kk * n, 0), dji(n);
+    u64* acc = scratch(13, 2 * kk * n);
+    std::memset(acc, 0, 2 * kk * n * sizeof(u64));
+    u64* dji = scratch(14, n);
     for (size_t j = 0; j < k; ++j) {
         const u64* dj = ct + (2 * k + j) * n;
         for (size_t i = 0; i < kk; ++i) {
@@ -1598,25 +1775,25 @@ void he_relinearize(void* h, const u64* ct, const u64* rk, u64* out) {
             const Barrett& br = c.bar(p);
             const u64* rk0 = rk + ((j * 2 + 0) * kk + i) * n;
             const u64* rk1 = rk + ((j * 2 + 1) * kk + i) * n;
-            u64* a0 = acc.data() + (0 * kk + i) * n;
-            u64* a1 = acc.data() + (1 * kk + i) * n;
+            u64* a0 = acc + (0 * kk + i) * n;
+            u64* a1 = acc + (1 * kk + i) * n;
 #ifdef HE_HAVE_AVX512
             if (vec) {
                 // dj < q_j < 2^37 fits the 52-bit domain directly.
-                std::memcpy(dji.data(), dj, n * sizeof(u64));
-                vec_reduce_avx512(dji.data(), n, p);
-                ntt_inplace(tb, dji.data());
+                std::memcpy(dji, dj, n * sizeof(u64));
+                vec_reduce_avx512(dji, n, p);
+                ntt_inplace(tb, dji);
                 // Montgomery inner product: lift dji by 2^52 once, then
                 // accumulate k <= 4 lazy (< 2p) terms per component.
                 const u64 r52 = (u64)((((u128)1) << 52) % p);
-                vec_mulc_lazy_avx512(dji.data(), dji.data(), n, r52, p);
-                vec_addmont_avx512(a0, dji.data(), rk0, n, p);
-                vec_addmont_avx512(a1, dji.data(), rk1, n, p);
+                vec_mulc_lazy_avx512(dji, dji, n, r52, p);
+                vec_addmont_avx512(a0, dji, rk0, n, p);
+                vec_addmont_avx512(a1, dji, rk1, n, p);
                 continue;
             }
 #endif
             for (u64 x = 0; x < n; ++x) dji[x] = br.reduce64(dj[x]);
-            ntt_inplace(tb, dji.data());
+            ntt_inplace(tb, dji);
             for (u64 x = 0; x < n; ++x) {
                 a0[x] = addmod(a0[x], br.mul(dji[x], rk0[x]), p);
                 a1[x] = addmod(a1[x], br.mul(dji[x], rk1[x]), p);
@@ -1625,8 +1802,8 @@ void he_relinearize(void* h, const u64* ct, const u64* rk, u64* out) {
     }
     for (size_t i = 0; i < kk; ++i) {
         const Table& tb = c.tab(c.keym[i]);
-        u64* a0 = acc.data() + (0 * kk + i) * n;
-        u64* a1 = acc.data() + (1 * kk + i) * n;
+        u64* a0 = acc + (0 * kk + i) * n;
+        u64* a1 = acc + (1 * kk + i) * n;
 #ifdef HE_HAVE_AVX512
         if (vec) {   // lazy accumulators (< 8p) -> canonical before intt
             vec_reduce_avx512(a0, n, c.keym[i]);
@@ -1639,15 +1816,22 @@ void he_relinearize(void* h, const u64* ct, const u64* rk, u64* out) {
     // divide by the special prime P with rounding (golden.relinearize)
     const u64 P = c.P, half = c.P_half;
     for (int comp = 0; comp < 2; ++comp) {
-        const u64* xP = acc.data() + (comp * kk + (kk - 1)) * n;
+        const u64* xP = acc + (comp * kk + (kk - 1)) * n;
         for (size_t i = 0; i < k; ++i) {
             const u64 p = c.qm[i];
-            const Barrett& br = c.bar(p);
             const u64 halfp = c.half_mod_q[i];
             const u64 ipq = c.inv_P_mod_q[i];
-            const u64* ai = acc.data() + (comp * kk + i) * n;
+            const u64* ai = acc + (comp * kk + i) * n;
             const u64* cti = ct + (comp * k + i) * n;
             u64* o = out + (comp * k + i) * n;
+#ifdef HE_HAVE_AVX512
+            if (vec) {
+                vec_relin_pdiv_avx512(o, cti, ai, xP, n, p, P, half, halfp,
+                                      ipq);
+                continue;
+            }
+#endif
+            const Barrett& br = c.bar(p);
             for (u64 x = 0; x < n; ++x) {
                 u64 xph = addmod(xP[x], half, P);
                 u64 corr = submod(xph % p, halfp, p);

@@ -174,6 +174,28 @@ def test_error_codes_through_native_app():
     assert app.call("add_cipheru64_cipheru64", data)[0] == 0
 
 
+def test_concurrent_ops_bit_exact(setup):
+    """4 threads hammer mul_relin/encrypt/decrypt concurrently; outputs must
+    equal the single-threaded golden results (the C++ engine's per-thread
+    scratch arena and const context make it thread-safe by design)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ctx, eng, pk, sk, m, (c0, c1, _) = setup
+    want_mul = ctx.mul_relin(c0, c1, pk.relin).data
+    want_enc = ctx.encrypt(m[0], pk, b"\x09" * 64).data
+    want_dec = ctx.decrypt(c0, sk)
+
+    def worker(i):
+        for _ in range(5):
+            assert _eq(eng.mul_relin(c0, c1, pk.relin).data, want_mul)
+            assert _eq(eng.encrypt(m[0], pk, b"\x09" * 64).data, want_enc)
+            assert _eq(eng.decrypt(c0, sk), want_dec)
+        return True
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        assert all(ex.map(worker, range(4)))
+
+
 def test_randomized_mul_chain(setup):
     """Depth-2 chain: engine outputs feed back in, staying bit-exact."""
     ctx, eng, pk, sk, m, (c0, c1, c2) = setup
