@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import struct
+import threading
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -62,10 +63,33 @@ def unpack_header(data: bytes, off: int = 0) -> Tuple[int, int]:
     return size, compr
 
 
+# zstd contexts allocate ~MB workspaces; rebuilding one per ciphertext was
+# the second-largest byte-path cost after the FHE math itself.  Contexts are
+# not safe for concurrent use, so cache them per thread (output bytes are
+# unchanged -- same parameters, deterministic encoder).
+_zstd_tls = threading.local()
+
+
+def _zstd_compressor() -> "zstandard.ZstdCompressor":
+    c = getattr(_zstd_tls, "compressor", None)
+    if c is None:
+        c = zstandard.ZstdCompressor(write_content_size=True)
+        _zstd_tls.compressor = c
+    return c
+
+
+def _zstd_decompressor() -> "zstandard.ZstdDecompressor":
+    d = getattr(_zstd_tls, "decompressor", None)
+    if d is None:
+        d = zstandard.ZstdDecompressor()
+        _zstd_tls.decompressor = d
+    return d
+
+
 def wrap_stream(payload: bytes, compress: bool = True) -> bytes:
     """Serialize `payload` as a SEAL stream (header + optional zstd)."""
     if compress:
-        body = zstandard.ZstdCompressor(write_content_size=True).compress(payload)
+        body = _zstd_compressor().compress(payload)
         mode = COMPR_ZSTD
     else:
         body = payload
@@ -81,7 +105,7 @@ def unwrap_stream(data: bytes) -> bytes:
     body = data[HEADER_SIZE:]
     if compr == COMPR_ZSTD:
         try:
-            return zstandard.ZstdDecompressor().decompress(
+            return _zstd_decompressor().decompress(
                 body, max_output_size=1 << 30)
         except zstandard.ZstdError as exc:
             raise invalid_encoding(f"zstd: {exc}") from exc

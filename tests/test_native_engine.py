@@ -203,3 +203,43 @@ def test_randomized_mul_chain(setup):
     v = eng.mul_relin(eng.mul_relin(c0, c1, pk.relin), c2, pk.relin)
     assert _eq(v.data, g.data)
     assert _eq(eng.decrypt(v, sk), ctx.decrypt(v, sk))
+
+
+def test_concurrent_byte_path_consensus():
+    """4 threads hammer the FULL byte path (unpack -> zstd -> compute ->
+    repack) under engine="native"; every thread must emit the exact
+    single-threaded bytes.  Covers the thread-local zstd context cache in
+    serialization/seal.py on top of the engine's per-thread scratch."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    from fhe_precompiles_tpu import FheApp, pack
+    from fhe_precompiles_tpu.app import _CT_CODEC
+    from fhe_precompiles_tpu.encoding import PLAIN_TYPES
+    from fhe_precompiles_tpu.testnet import one
+
+    FHE = one.FHE
+    app = FheApp(FHE.params, engine="native")
+    pk, _sk = FHE.generate_keys()
+    enc = PLAIN_TYPES["u64"].encode
+    a = FHE.ctx.encrypt(enc(16, FHE.params), pk, hashlib.sha512(b"a").digest())
+    b = FHE.ctx.encrypt(enc(4, FHE.params), pk, hashlib.sha512(b"b").digest())
+    mul_in = pack.pack_binary_operation(pk, a, _CT_CODEC, b, _CT_CODEC)
+    add_in = pack.pack_binary_operation(pk, a, _CT_CODEC, b, _CT_CODEC)
+    net = FHE.ctx.encrypt(enc(7, FHE.params), FHE.public_key,
+                          hashlib.sha512(b"n").digest())
+    re_in = pack.pack_binary_operation(FHE.public_key, net, _CT_CODEC,
+                                       b"ctx", pack.BYTES)
+    jobs = [("mul_cipheru64_cipheru64", mul_in),
+            ("add_cipheru64_cipheru64", add_in),
+            ("reencrypt_u64", re_in)]
+    want = {name: app.call(name, data) for name, data in jobs}
+    assert all(code == 0 for code, _ in want.values())
+
+    def worker(i):
+        for name, data in jobs * 3:
+            assert app.call(name, data) == want[name]
+        return True
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        assert all(ex.map(worker, range(4)))
