@@ -317,6 +317,27 @@ def main():
     emit("native_byte_path_decrypt_u64_per_sec", NDEC / (time.time() - t0),
          "ops/s/host-core")
 
+    # ---- pure-native C ABI (libc_fhe_native.so, zero Python) ----------
+    # The deployment surface a non-Python node links; byte-identical to
+    # FheApp.call (tests/test_native_byte_path.py).
+    import subprocess as _sp
+
+    from fhe_precompiles_tpu import pack as _pack
+    from fhe_precompiles_tpu.app import _CT_CODEC as _CTC
+    from fhe_precompiles_tpu.native import _DIR as _NDIR, NativeFhe
+    _sp.run(["make", "-C", _NDIR, "libc_fhe_native.so"], check=True,
+            capture_output=True)
+    nat = NativeFhe(os.path.join(_NDIR, "libc_fhe_native.so"))
+    mul_calldata = _pack.pack_binary_operation(
+        FHE.public_key, ca_nat, _CTC, cb_nat, _CTC)
+    code, _ = nat.call("mul_cipheru64_cipheru64", mul_calldata)
+    assert code == 0
+    t0 = time.time()
+    for _ in range(NOP):
+        nat.call("mul_cipheru64_cipheru64", mul_calldata)
+    emit("c_abi_native_mul_per_sec", NOP / (time.time() - t0),
+         "ops/s/host-core")
+
     # ---- distributed rows (subprocesses on the virtual CPU mesh) ------
     if "--with-scaling" in sys.argv:
         import subprocess

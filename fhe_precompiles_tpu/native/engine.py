@@ -136,13 +136,21 @@ class NativeEngine:
     # ------------------------------------------------------------------
     # homomorphic ops (bit-identical to BfvContext methods)
     # ------------------------------------------------------------------
+    def _check_pair(self, a: Ciphertext, b: Ciphertext) -> None:
+        # The C++ kernels index raw buffers; mismatched operand sizes must
+        # be rejected here (golden raises a numpy shape error -> code 7).
+        if a.size != b.size:
+            raise ValueError(f"ciphertext size mismatch {a.size} != {b.size}")
+
     def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        self._check_pair(a, b)
         out = self._out(a.size)
         self._lib.he_add(self._ctx, _u64p(_c(a.data)), _u64p(_c(b.data)),
                          a.size, _u64p(out))
         return self._wrap(out)
 
     def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        self._check_pair(a, b)
         out = self._out(a.size)
         self._lib.he_sub(self._ctx, _u64p(_c(a.data)), _u64p(_c(b.data)),
                          a.size, _u64p(out))
@@ -185,6 +193,11 @@ class NativeEngine:
     def relinearize(self, ct: Ciphertext, rk: RelinKeys) -> Ciphertext:
         if ct.size != 3:
             raise ValueError("relinearize expects a size-3 ciphertext")
+        want = (self.k, 2, self.k_key, self.n)
+        if rk.data.shape != want:
+            # he_relinearize indexes a dense block of this exact shape
+            raise ValueError(f"relin keys shaped {rk.data.shape}, "
+                             f"expected {want}")
         out = self._out(2)
         self._lib.he_relinearize(self._ctx, _u64p(_c(ct.data)),
                                  _u64p(_c(rk.data)), _u64p(out))
@@ -214,6 +227,10 @@ class NativeEngine:
     def encrypt_with_randomness(self, plain: np.ndarray, pk: PublicKey,
                                 u: np.ndarray, e0: np.ndarray,
                                 e1: np.ndarray) -> Ciphertext:
+        if pk.data.shape[0] != 2 or pk.data.shape[1] < self.k \
+                or pk.data.shape[2] != self.n:
+            raise ValueError(f"public key shaped {pk.data.shape} unusable "
+                             f"for k={self.k}, n={self.n}")
         out = self._out(2)
         self._lib.he_encrypt(
             self._ctx, _u64p(self._plain(plain)),

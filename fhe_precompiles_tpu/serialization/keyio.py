@@ -115,6 +115,14 @@ def load_public_key(data: bytes) -> PublicKey:
         k_ct = len(rk_params.ct_moduli)
         if len(vec) != k_ct:
             raise invalid_encoding("relin decomposition count mismatch")
+        # Uniform (2, k_key, n) members, rejected at the boundary: the
+        # engines index relin keys as a dense (k_ct, 2, k_key, n) block, so
+        # a mis-shaped blob must never reach compute (the native C++ engine
+        # would read out of bounds; golden would shape-error late).
+        k_key = len(rk_params.key_moduli)
+        for c in vec:
+            if c.size != 2 or c.k != k_key or c.n != rk_params.n:
+                raise invalid_encoding("relin key member has wrong shape")
         arr = np.stack([c.data for c in vec])         # (k_ct, 2, k_key, n)
         _check_parms_id(ks.parms_id, rk_params, rk_params.key_moduli,
                         "relin keys")

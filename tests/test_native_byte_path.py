@@ -1,0 +1,267 @@
+"""Pure-native C ABI byte-consensus tests (libc_fhe_native.so).
+
+The zero-Python analog of the reference staticlib: calldata framing,
+bincode/SEAL/zstd codecs, plaintext encodings, SHA-512 threshold seeding and
+the BFV engine all in C++ (native/precompiles.cpp + host_engine.cpp).  Every
+(code, payload) must be byte-identical to FheApp.call -- these tests pin the
+full 49-op surface plus the error-code matrix against the Python app.
+"""
+import concurrent.futures
+import hashlib
+import shutil
+import struct
+import subprocess
+
+import pytest
+
+from fhe_precompiles_tpu import pack
+from fhe_precompiles_tpu.app import _CT_CODEC, PRECOMPILE_NAMES
+from fhe_precompiles_tpu.bfv.golden import Ciphertext
+from fhe_precompiles_tpu.encoding import PLAIN_TYPES
+from fhe_precompiles_tpu.testnet import one
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ toolchain")
+
+FHE = one.FHE
+SCALARS = {"u256": pack.U256, "u64": pack.U64, "i64": pack.I64,
+           "frac64": pack.FRAC64}
+VAL1 = {"u256": 16, "u64": 16, "i64": -16, "frac64": 2.5}
+VAL2 = {"u256": 4, "u64": 4, "i64": 4, "frac64": -0.25}
+
+
+@pytest.fixture(scope="module")
+def native():
+    import os
+    from fhe_precompiles_tpu.native import NativeFhe
+    d = os.path.join(os.path.dirname(
+        os.path.abspath(__import__("fhe_precompiles_tpu").__file__)), "native")
+    subprocess.run(["make", "-C", d, "libc_fhe_native.so"], check=True,
+                   capture_output=True)
+    return NativeFhe(os.path.join(d, "libc_fhe_native.so"))
+
+
+@pytest.fixture(scope="module")
+def user_keys():
+    return FHE.generate_keys()
+
+
+def _ct(value, tname, pk, tag=b"m"):
+    seed = hashlib.sha512(tag + tname.encode()).digest()
+    return FHE.ctx.encrypt(PLAIN_TYPES[tname].encode(value, FHE.params),
+                           pk, seed)
+
+
+def _build_input(name, user_pk):
+    """Construct a valid calldata payload for any of the 49 precompiles."""
+    head, rest = name.split("_", 1)
+    if name == "public_key_bytes":
+        return b""
+    if head in ("encrypt", "reencrypt", "decrypt"):
+        tname = rest
+        if head == "encrypt":
+            return pack.pack_two_arguments(VAL1[tname], SCALARS[tname],
+                                           b"public-data", pack.BYTES)
+        ct = _ct(VAL1[tname], tname, FHE.public_key, b"thr")
+        if head == "decrypt":
+            return pack.pack_one_argument(ct, _CT_CODEC)
+        return pack.pack_binary_operation(user_pk, ct, _CT_CODEC,
+                                          b"re-data", pack.BYTES)
+    a_t, b_t = rest.split("_")
+    tname = a_t.replace("cipher", "")
+    sc = SCALARS[tname]
+    a = (_ct(VAL1[tname], tname, FHE.public_key, b"a")
+         if a_t.startswith("cipher") else VAL1[tname])
+    b = (_ct(VAL2[tname], tname, FHE.public_key, b"b")
+         if b_t.startswith("cipher") else VAL2[tname])
+    ca = _CT_CODEC if a_t.startswith("cipher") else sc
+    cb = _CT_CODEC if b_t.startswith("cipher") else sc
+    return pack.pack_binary_operation(FHE.public_key, a, ca, b, cb)
+
+
+# --------------------------------------------------------------------------
+# full 49-op byte consensus vs the Python app
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", PRECOMPILE_NAMES)
+def test_byte_consensus_with_python_app(native, user_keys, name):
+    data = _build_input(name, user_keys[0])
+    code_n, out_n = native.call(name, data)
+    code_p, out_p = FHE.call(name, data)
+    assert code_n == code_p == 0
+    assert out_n == out_p
+
+
+def test_decrypted_values_correct(native, user_keys):
+    """End-to-end through the native lib only: encrypt -> mul -> decrypt."""
+    d1 = pack.pack_two_arguments(6, pack.U64, b"x", pack.BYTES)
+    d2 = pack.pack_two_arguments(7, pack.U64, b"y", pack.BYTES)
+    _, ct1 = native.call("encrypt_u64", d1)
+    _, ct2 = native.call("encrypt_u64", d2)
+    binp = pack.pack_binary_operation(
+        FHE.public_key, Ciphertext.from_bytes(ct1), _CT_CODEC,
+        Ciphertext.from_bytes(ct2), _CT_CODEC)
+    code, prod = native.call("mul_cipheru64_cipheru64", binp)
+    assert code == 0
+    code, out = native.call(
+        "decrypt_u64", pack.pack_one_argument(
+            Ciphertext.from_bytes(prod), _CT_CODEC))
+    assert code == 0 and pack.U64.deserialize(out) == 42
+
+
+def test_frac64_roundtrip_values(native):
+    for v in (2.5, -0.375, 1e-30, 123456.75):
+        data = pack.pack_two_arguments(v, pack.FRAC64, b"f", pack.BYTES)
+        _, ct = native.call("encrypt_frac64", data)
+        code, out = native.call(
+            "decrypt_frac64",
+            pack.pack_one_argument(Ciphertext.from_bytes(ct), _CT_CODEC))
+        assert code == 0 and pack.FRAC64.deserialize(out) == v
+
+
+# --------------------------------------------------------------------------
+# error-code matrix parity (mirrors tests/test_error_code_matrix.py)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name,data,want", [
+    ("encrypt_u64", b"\x00\x00", 1),                      # truncated offsets
+    ("add_cipheru64_cipheru64", b"\x00\x00\x00", 1),
+    ("reencrypt_u64", struct.pack(">I", 10_000_000) + b"\x00" * 64, 1),
+    ("decrypt_u64", b"\xde\xad\xbe\xef" * 10, 3),         # garbage ct
+])
+def test_error_codes_match_python(native, name, data, want):
+    code_n, _ = native.call(name, data)
+    code_p, _ = FHE.call(name, data)
+    assert code_n == code_p == want
+
+
+@pytest.mark.parametrize("tname", list(SCALARS))
+def test_wrong_width_scalar(native, tname):
+    data = pack.pack_two_arguments(b"\x01\x02\x03", pack.BYTES,
+                                   b"x", pack.BYTES)
+    assert native.call(f"encrypt_{tname}", data)[0] == 3
+
+
+@pytest.mark.parametrize("bad", [float("nan"), float("inf"), 1e308])
+def test_encrypt_frac64_nonfinite(native, bad):
+    data = pack.pack_two_arguments(bad, pack.FRAC64, b"x", pack.BYTES)
+    code_n, _ = native.call("encrypt_frac64", data)
+    code_p, _ = FHE.call("encrypt_frac64", data)
+    assert code_n == code_p == 6
+
+
+def test_decode_overflow_failed_decryption(native):
+    big = (1 << 200) + 5
+    ct = _ct(big, "u256", FHE.public_key, b"ovf")
+    data = pack.pack_one_argument(ct, _CT_CODEC)
+    for name in ("decrypt_u64", "decrypt_i64"):
+        code_n, _ = native.call(name, data)
+        code_p, _ = FHE.call(name, data)
+        assert code_n == code_p == 5
+
+
+def test_wrong_key_decrypt(native, user_keys):
+    pk, _sk = user_keys
+    ct = _ct(5, "u64", pk, b"wrongkey")
+    data = pack.pack_one_argument(ct, _CT_CODEC)
+    code_n, _ = native.call("decrypt_u64", data)
+    code_p, _ = FHE.call("decrypt_u64", data)
+    assert code_n == code_p == 5
+
+
+def test_mul_without_relin_keys(native, user_keys):
+    import copy
+    pk, _sk = user_keys
+    bare = copy.copy(pk)
+    bare.relin = None
+    a = _ct(3, "u64", pk, b"a")
+    b = _ct(2, "u64", pk, b"b")
+    data = pack.pack_binary_operation(bare, a, _CT_CODEC, b, _CT_CODEC)
+    assert native.call("mul_cipheru64_cipheru64", data)[0] == 7
+    code, out = native.call("add_cipheru64_cipheru64", data)
+    assert code == 0 and out == FHE.call("add_cipheru64_cipheru64", data)[1]
+
+
+def test_size3_ciphertext_add(native, user_keys):
+    pk, _sk = user_keys
+    a = _ct(3, "u64", pk, b"s3a")
+    b = _ct(2, "u64", pk, b"s3b")
+    c3 = FHE.ctx.multiply(a, b)
+    data = pack.pack_binary_operation(pk, c3, _CT_CODEC, a, _CT_CODEC)
+    code_n, _ = native.call("add_cipheru64_cipheru64", data)
+    code_p, _ = FHE.call("add_cipheru64_cipheru64", data)
+    assert code_n == code_p == 7
+
+
+def test_galois_bearing_pk_accepted(native, user_keys):
+    """A pk carrying galois keys must parse (and be ignored), like the
+    reference's deserializer (fhe.rs:34-44)."""
+    from fhe_precompiles_tpu.serialization import keyio
+    from fhe_precompiles_tpu.serialization.bincode import Reader, Writer
+    pk, sk = user_keys
+    raw = pk.to_bytes()
+    r = Reader(raw)
+    params = keyio.read_params(r)
+    pk_stream = r.byte_vec()
+    assert not r.option()
+    rest = raw[r.off:]
+    w = Writer()
+    keyio.write_params(w, params)
+    w.byte_vec(pk_stream)
+    w.option(True)
+    keyio.write_params(w, params)
+    w.byte_vec(b"\x00" * 32)
+    w.raw(rest)
+    patched = w.getvalue()
+    a = _ct(6, "u64", pk, b"gal")
+    pa = a.to_bytes()
+    off1 = 8 + len(patched)
+    data = (struct.pack(">II", off1, off1 + len(pa)) + patched + pa + pa)
+    code, out = native.call("add_cipheru64_cipheru64", data)
+    assert code == 0
+    assert out == FHE.call("add_cipheru64_cipheru64", data)[1]
+
+
+# --------------------------------------------------------------------------
+# concurrency: the whole byte path is GIL-free C++; hammer it from threads
+# --------------------------------------------------------------------------
+
+def test_concurrent_byte_path(native, user_keys):
+    inputs = []
+    for i in range(8):
+        a = _ct(3 + i, "u64", FHE.public_key, b"ca%d" % i)
+        b = _ct(5, "u64", FHE.public_key, b"cb%d" % i)
+        inputs.append(pack.pack_binary_operation(
+            FHE.public_key, a, _CT_CODEC, b, _CT_CODEC))
+    expected = [FHE.call("mul_cipheru64_cipheru64", d) for d in inputs]
+
+    def run(d):
+        return native.call("mul_cipheru64_cipheru64", d)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        got = list(ex.map(run, inputs * 2))
+    assert got == expected * 2
+
+
+def test_error_strings(native):
+    assert native.error_str(1) == "Unexpected end of file"
+    assert native.error_str(4) == "Overflow in FHE program"
+    assert native.error_str(99) == "Unknown error"
+
+
+def test_standalone_c_host_pure_native(native):
+    """The same C host program as test_native_abi, linked against the
+    zero-Python library -- proof the ABI needs no runtime at all."""
+    import os
+    d = os.path.dirname(os.path.abspath(__import__(
+        "fhe_precompiles_tpu.native", fromlist=["x"]).__file__))
+    exe = os.path.join(d, "host_test_native")
+    subprocess.run(
+        ["gcc", os.path.join(d, "host_test.c"), "-o", exe,
+         f"-L{d}", "-lc_fhe_native", "-lpthread", "-Wl,-rpath,$ORIGIN"],
+        check=True, capture_output=True)
+    ldd = subprocess.run(["ldd", exe], capture_output=True, text=True)
+    assert "python" not in ldd.stdout.lower()  # no Python dependency
+    res = subprocess.run([exe], capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr
+    assert "HOST TEST PASSED" in res.stdout

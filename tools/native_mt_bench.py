@@ -11,6 +11,9 @@ native code.  This benchmark measures that scaling at two surfaces:
   * engine level  — NativeEngine.mul_relin on distinct operand pairs
   * byte path     — FheApp.call("mul_cipheru64_cipheru64", calldata),
                     i.e. unpack + zstd + bincode + compute + repack
+  * pure-native   — c_fhe_mul_cipheru64_cipheru64 via libc_fhe_native.so:
+                    the zero-Python C ABI (native/precompiles.cpp), the
+                    deployment surface a non-Python node actually links
 
 Usage:  PYTHONPATH=/root/repo python tools/native_mt_bench.py [max_threads]
 Emits one JSON line per (surface, threads) with ops/s and efficiency.
@@ -73,9 +76,22 @@ def main() -> None:
         assert code == 0, code
         return out
 
+    import subprocess
+
+    from fhe_precompiles_tpu.native import NativeFhe, _DIR
+    subprocess.run(["make", "-C", _DIR, "libc_fhe_native.so"], check=True,
+                   capture_output=True)
+    nat = NativeFhe(os.path.join(_DIR, "libc_fhe_native.so"))
+
+    def abi_op(data):
+        code, out = nat.call("mul_cipheru64_cipheru64", data)
+        assert code == 0, code
+        return out
+
     results = {}
     for surface, fn, jobs in (("engine_mul_relin", eng_op, pairs),
-                              ("byte_path_mul", byte_op, calldata)):
+                              ("byte_path_mul", byte_op, calldata),
+                              ("c_abi_native_mul", abi_op, calldata)):
         base = None
         for t in range(1, max_threads + 1):
             rate = bench(fn, jobs, t)
