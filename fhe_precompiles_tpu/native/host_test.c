@@ -13,14 +13,7 @@
 #include <stdlib.h>
 #include <string.h>
 
-extern int32_t c_fhe_public_key_bytes(const uint8_t *, size_t, uint8_t **,
-                                      int64_t *);
-extern int32_t c_fhe_encrypt_u256(const uint8_t *, size_t, uint8_t **,
-                                  int64_t *);
-extern int32_t c_fhe_decrypt_u256(const uint8_t *, size_t, uint8_t **,
-                                  int64_t *);
-extern void fhe_free(const uint8_t *);
-extern const char *fhe_error(int32_t);
+#include "c_fhe.h"
 
 static void *thread_worker(void *arg) {
   uint8_t *out = NULL;

@@ -30,6 +30,8 @@
 #include <dlfcn.h>
 #include <zstd.h>
 
+#include "c_fhe.h"  // the public 51-symbol surface (prototypes + X-macro)
+
 #include <array>
 #include <cmath>
 #include <cstdint>
@@ -1775,26 +1777,6 @@ const char* fhe_error(int32_t error_code) {
   if (out != nullptr) std::memcpy(out, msg, len);
   return out;
 }
-
-#define FHE_PRECOMPILE_LIST(X)                                               \
-  X(add_cipheru256_cipheru256) X(add_cipheru256_u256) X(add_u256_cipheru256) \
-  X(sub_cipheru256_cipheru256) X(sub_cipheru256_u256) X(sub_u256_cipheru256) \
-  X(mul_cipheru256_cipheru256) X(mul_cipheru256_u256) X(mul_u256_cipheru256) \
-  X(add_cipheru64_cipheru64) X(add_cipheru64_u64) X(add_u64_cipheru64)       \
-  X(sub_cipheru64_cipheru64) X(sub_cipheru64_u64) X(sub_u64_cipheru64)       \
-  X(mul_cipheru64_cipheru64) X(mul_cipheru64_u64) X(mul_u64_cipheru64)       \
-  X(add_cipheri64_cipheri64) X(add_cipheri64_i64) X(add_i64_cipheri64)       \
-  X(sub_cipheri64_cipheri64) X(sub_cipheri64_i64) X(sub_i64_cipheri64)       \
-  X(mul_cipheri64_cipheri64) X(mul_cipheri64_i64) X(mul_i64_cipheri64)       \
-  X(add_cipherfrac64_cipherfrac64) X(add_cipherfrac64_frac64)                \
-  X(add_frac64_cipherfrac64) X(sub_cipherfrac64_cipherfrac64)                \
-  X(sub_cipherfrac64_frac64) X(sub_frac64_cipherfrac64)                      \
-  X(mul_cipherfrac64_cipherfrac64) X(mul_cipherfrac64_frac64)                \
-  X(mul_frac64_cipherfrac64)                                                 \
-  X(encrypt_u256) X(encrypt_u64) X(encrypt_i64) X(encrypt_frac64)            \
-  X(reencrypt_u256) X(reencrypt_u64) X(reencrypt_i64) X(reencrypt_frac64)    \
-  X(decrypt_u256) X(decrypt_u64) X(decrypt_i64) X(decrypt_frac64)            \
-  X(public_key_bytes)
 
 #define DEFINE_C_PRECOMPILE(name)                                      \
   int32_t c_fhe_##name(const u8* bytes, size_t bytes_length,           \
