@@ -128,6 +128,11 @@ class FheApp:
     # key generation (fhe.rs:133-136; galois keys stripped per fhe.rs:34-44)
     # ------------------------------------------------------------------
     def generate_keys(self):
+        # engines that implement keygen (native C++) produce bit-identical
+        # keys to the golden model per seed (test_native_engine.py)
+        eng = self._engine
+        if eng is not None and hasattr(eng, "generate_keys"):
+            return eng.generate_keys()
         return self.ctx.generate_keys()
 
     # ------------------------------------------------------------------

@@ -72,6 +72,10 @@ def _load():
             "he_sample_cbd_pair": [ctypes.c_char_p, ctypes.c_uint64,
                                    ctypes.c_uint64, ctypes.c_uint64,
                                    _I64P, _I64P],
+            "he_keygen": [ctypes.c_void_p, ctypes.c_char_p,
+                          ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+                          ctypes.c_uint64, ctypes.c_int,
+                          _U64P, _U64P, _U64P],
         }.items():
             fn = getattr(lib, name)
             fn.argtypes = args
@@ -206,6 +210,29 @@ class NativeEngine:
     def mul_relin(self, a: Ciphertext, b: Ciphertext,
                   rk: RelinKeys) -> Ciphertext:
         return self.relinearize(self.multiply(a, b), rk)
+
+    # ------------------------------------------------------------------
+    # key generation (bit-identical to golden.generate_keys per seed)
+    # ------------------------------------------------------------------
+    def generate_keys(self, seed: Optional[bytes] = None, relin: bool = True):
+        import os
+
+        from ..sampling import DOMAIN_KEYGEN, DOMAIN_UNIFORM
+
+        seed = seed if seed is not None else os.urandom(64)
+        n, k, kk = self.n, self.k, self.k_key
+        s_ntt = np.empty((kk, n), dtype=np.uint64)
+        pk = np.empty((2, kk, n), dtype=np.uint64)
+        want_rk = relin and self.params.special_modulus is not None
+        rk = np.empty((k, 2, kk, n), dtype=np.uint64) if want_rk else None
+        self._lib.he_keygen(
+            self._ctx, seed, DOMAIN_KEYGEN, DOMAIN_UNIFORM, DOMAIN_ERROR,
+            CBD_K, 1 if want_rk else 0, _u64p(s_ntt), _u64p(pk),
+            _u64p(rk) if want_rk else None)
+        public = PublicKey(self.params, pk)
+        if want_rk:
+            public.relin = RelinKeys(self.params, rk)
+        return public, SecretKey(self.params, s_ntt)
 
     # ------------------------------------------------------------------
     # threshold-API protocol (host sampling, native polynomial math)

@@ -1843,3 +1843,111 @@ void he_relinearize(void* h, const u64* ct, const u64* rk, u64* out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// key generation (golden.generate_keys + _generate_relin_keys)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Uniform values in [0, p) by rejection from u64 -- byte-identical stream
+// consumption to sampling.sample_uniform_mod (each round reads
+// need + need//8 + 8 u64 words; surplus accepted words are discarded with
+// their bytes consumed, exactly as the numpy slicing does).
+static void sample_uniform_mod_xof(Xof& xof, u64 p, u64 n, u64* out) {
+    const u64 rem = (u64)((((u128)1) << 64) % p);
+    const u64 bound = (u64)((((u128)1) << 64) - rem);
+    u64 filled = 0;
+    std::vector<u64> draws;
+    while (filled < n) {
+        const u64 need = n - filled;
+        draws.resize(need + need / 8 + 8);
+        xof.read((uint8_t*)draws.data(), draws.size() * 8);
+        for (size_t i = 0; i < draws.size() && filled < n; ++i)
+            if (draws[i] < bound) out[filled++] = draws[i];
+    }
+    for (u64 i = 0; i < n; ++i) out[i] %= p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Keygen, bit-identical to golden.generate_keys for the same seed:
+//   s_ntt (k_key, n)   ternary secret, NTT form per key modulus
+//   pk    (2, k_key, n) NTT form: pk0 = -(a*s + e), pk1 = a
+//   rk    (k, 2, k_key, n) or NULL: SEAL-convention relin keys
+//          (key_j = enc_zero + P*s^2 embedded in decomposition limb j)
+// Domain tags + CBD parameter are passed in (protocol constants live in
+// sampling.py; the engine stays format-agnostic like the other samplers).
+// rk is written only when want_relin != 0 AND the context has a special
+// prime; the uniform/error streams are shared sequentially across pk and
+// relin draws exactly as golden's xof_a/xof_e are.
+void he_keygen(void* h, const uint8_t* seed, u64 dom_keygen, u64 dom_uniform,
+               u64 dom_error, u64 kcbd, int want_relin,
+               u64* s_ntt, u64* pk, u64* rk) {
+    const Ctx& c = *(const Ctx*)h;
+    const u64 n = c.n;
+    const size_t kk = c.k_key, k = c.k;
+
+    std::vector<i64> s(n);
+    he_sample_ternary(seed, dom_keygen, n, s.data());
+    for (size_t i = 0; i < kk; ++i) {
+        const u64 p = c.keym[i];
+        u64* dst = s_ntt + i * n;
+        for (u64 x = 0; x < n; ++x) dst[x] = fmod_signed(s[x], p);
+        ntt_inplace(c.tab(p), dst);
+    }
+
+    Xof xof_a(seed, dom_uniform);
+    Xof xof_e(seed, dom_error);
+    std::vector<i64> e(n);
+    std::vector<u64> a(n), entt(n);
+
+    sample_cbd_once(xof_e, n, kcbd, e.data());
+    for (size_t i = 0; i < kk; ++i) {
+        const u64 p = c.keym[i];
+        const Barrett& br = c.bar(p);
+        sample_uniform_mod_xof(xof_a, p, n, a.data());
+        for (u64 x = 0; x < n; ++x) entt[x] = fmod_signed(e[x], p);
+        ntt_inplace(c.tab(p), entt.data());
+        const u64* si = s_ntt + i * n;
+        u64* pk0 = pk + i * n;
+        u64* pk1 = pk + (kk + i) * n;
+        for (u64 x = 0; x < n; ++x) {
+            pk0[x] = negmod(addmod(br.mul(a[x], si[x]), entt[x], p), p);
+            pk1[x] = a[x];
+        }
+    }
+
+    if (!want_relin || !c.has_special || rk == nullptr) return;
+    for (size_t j = 0; j < k; ++j) {
+        sample_cbd_once(xof_e, n, kcbd, e.data());
+        for (size_t i = 0; i < kk; ++i) {
+            const u64 p = c.keym[i];
+            const Barrett& br = c.bar(p);
+            sample_uniform_mod_xof(xof_a, p, n, a.data());
+            for (u64 x = 0; x < n; ++x) entt[x] = fmod_signed(e[x], p);
+            ntt_inplace(c.tab(p), entt.data());
+            const u64* si = s_ntt + i * n;
+            u64* rk0 = rk + ((j * 2 + 0) * kk + i) * n;
+            u64* rk1 = rk + ((j * 2 + 1) * kk + i) * n;
+            for (u64 x = 0; x < n; ++x) {
+                rk0[x] = negmod(addmod(br.mul(a[x], si[x]), entt[x], p), p);
+                rk1[x] = a[x];
+            }
+        }
+        // embed P * s^2 into decomposition limb j
+        const u64 pj = c.qm[j];
+        const Barrett& brj = c.bar(pj);
+        const u64 p_mod = (u64)(c.P % pj);
+        const u64* sj = s_ntt + j * n;
+        u64* rk0j = rk + ((j * 2 + 0) * kk + j) * n;
+        for (u64 x = 0; x < n; ++x) {
+            u64 term = brj.mul(brj.mul(sj[x], sj[x]), p_mod);
+            rk0j[x] = addmod(rk0j[x], term, pj);
+        }
+    }
+}
+
+}  // extern "C"

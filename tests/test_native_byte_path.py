@@ -249,6 +249,49 @@ def test_error_strings(native):
     assert native.error_str(99) == "Unknown error"
 
 
+def test_frac64_encode_parity_random_bit_patterns(native):
+    """The exact-rounding surface: random f64 bit patterns through
+    encrypt_frac64 on both paths must agree on (code, payload) -- pins the
+    C++ encode (frexp bit extraction) against Python's Fraction() exactly,
+    including values whose integer part overflows (code 6)."""
+    import random
+    rng = random.Random(1234)
+    specials = [0.0, -0.0, 5e-324, -5e-324, 2.0**-1022, 1.5, -1.5,
+                float(2**63), float(2**64), 1e308, 0.1, -1/3]
+    patterns = [struct.pack(">d", v) for v in specials]
+    patterns += [struct.pack(">Q", rng.getrandbits(64)) for _ in range(60)]
+    for raw in patterns:
+        (v,) = struct.unpack(">d", raw)
+        if v != v or v in (float("inf"), float("-inf")):
+            continue  # non-finite covered by test_encrypt_frac64_nonfinite
+        data = pack.pack_two_arguments(v, pack.FRAC64, b"fz", pack.BYTES)
+        got_n = native.call("encrypt_frac64", data)
+        got_p = FHE.call("encrypt_frac64", data)
+        assert got_n == got_p, (v, got_n[0], got_p[0])
+
+
+def test_frac64_decode_parity_after_arithmetic(native):
+    """Decode parity on polynomials with real carry structure: products and
+    sums of fractional values decrypted through both paths -- pins the C++
+    bignum compose + nearest-even rational-to-double against
+    float(Fraction) on non-trivial coefficient patterns."""
+    pairs = [(2.5, -0.25), (1.0 / 3.0, 3.0), (123456.789, 0.001),
+             (-7.125, -0.875), (2.0**-30, 2.0**-30), (0.1, 0.7)]
+    for v1, v2 in pairs:
+        a = _ct(v1, "frac64", FHE.public_key, b"fa")
+        b = _ct(v2, "frac64", FHE.public_key, b"fb")
+        for op in ("mul", "add"):
+            data = pack.pack_binary_operation(
+                FHE.public_key, a, _CT_CODEC, b, _CT_CODEC)
+            code, out = native.call(f"{op}_cipherfrac64_cipherfrac64", data)
+            assert code == 0
+            dec = pack.pack_one_argument(Ciphertext.from_bytes(out),
+                                         _CT_CODEC)
+            got_n = native.call("decrypt_frac64", dec)
+            got_p = FHE.call("decrypt_frac64", dec)
+            assert got_n == got_p, (v1, v2, op)
+
+
 def test_standalone_c_host_pure_native(native):
     """The same C host program as test_native_abi, linked against the
     zero-Python library -- proof the ABI needs no runtime at all."""

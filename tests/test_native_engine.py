@@ -107,6 +107,37 @@ def test_other_presets_bitexact(params):
         assert _eq(eng.decrypt(v, sk), ctx.decrypt(v, sk))
 
 
+@pytest.mark.parametrize("params", [TESTNET_ONE, BENCH_N1024, BENCH_N8192],
+                         ids=["testnet1", "n1024", "n8192"])
+def test_native_keygen_bitexact(params):
+    """he_keygen == golden.generate_keys per seed: same secret/public/relin
+    keys bit-for-bit (shared uniform + error XOF streams sequenced across
+    pk and relin draws exactly like golden's xof_a/xof_e)."""
+    ctx = BfvContext(params)
+    eng = NativeEngine(params, golden=ctx)
+    seed = bytes(range(64))
+    pk_g, sk_g = ctx.generate_keys(seed=seed)
+    pk_n, sk_n = eng.generate_keys(seed=seed)
+    assert _eq(sk_g.s_ntt, sk_n.s_ntt)
+    assert _eq(pk_g.data, pk_n.data)
+    if pk_g.relin is not None:
+        assert pk_n.relin is not None
+        assert _eq(pk_g.relin.data, pk_n.relin.data)
+    else:
+        assert pk_n.relin is None
+    # keys work end-to-end through the engine
+    rng = np.random.default_rng(3)
+    m = rng.integers(0, ctx.t, ctx.n, dtype=np.uint64)
+    c = eng.encrypt(m, pk_n, b"\x05" * 64)
+    assert _eq(eng.decrypt(c, sk_n), m)
+    if pk_n.relin is not None:
+        v = eng.mul_relin(c, c, pk_n.relin)
+        assert _eq(eng.decrypt(v, sk_n), ctx.decrypt(v, sk_n))
+    # relin=False strips relin keys like the reference strips galois
+    pk2, _ = eng.generate_keys(seed=seed, relin=False)
+    assert pk2.relin is None
+
+
 def test_native_samplers_match_python(setup):
     """C++ BLAKE2b XOF + ternary/CBD samplers == sampling.py streams.
 

@@ -22,7 +22,9 @@ from fhe_precompiles_tpu.bfv.golden import BfvContext
 for P in (TESTNET_ONE, BENCH_N8192, BENCH_N1024):
     ctx = BfvContext(P)
     eng = ne.NativeEngine(P, golden=ctx)
-    pk, sk = ctx.generate_keys()
+    pk, sk = eng.generate_keys(seed=b"\x07" * 64)
+    pk_g, sk_g = ctx.generate_keys(seed=b"\x07" * 64)
+    assert (sk.s_ntt == sk_g.s_ntt).all() and (pk.data == pk_g.data).all()
     m = np.random.default_rng(0).integers(0, ctx.t, ctx.n, dtype=np.uint64)
     c1 = ctx.encrypt(m, pk, b"\x01" * 64)
     c2 = ctx.encrypt(m, pk, b"\x02" * 64)
