@@ -249,6 +249,48 @@ def test_error_strings(native):
     assert native.error_str(99) == "Unknown error"
 
 
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_code_consensus_random_bytes(native, seed):
+    """Random bytes into every precompile: the native ABI and the Python app
+    must return the SAME code (consensus nodes on different stacks must
+    reject identically -- this would catch e.g. a zstd-version acceptance
+    divergence or any parser laxness on either side)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    for name in PRECOMPILE_NAMES:
+        for size in (0, 1, 7, 64, 300):
+            data = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+            got_n = native.call(name, data)
+            got_p = FHE.call(name, data)
+            assert got_n == got_p, (name, size, got_n[0], got_p[0])
+
+
+def test_fuzz_code_consensus_mutated_ciphertext(native):
+    """Bit-flips across every region of a valid ciphertext blob (bincode
+    header, SEAL header, zstd frame, payload): identical (code, payload) on
+    both stacks for each mutation."""
+    import numpy as np
+    data = pack.pack_two_arguments(12, pack.U256, b"\x01", pack.BYTES)
+    _, ct = native.call("encrypt_u256", data)
+    rng = np.random.default_rng(11)
+    for _ in range(48):
+        pos = int(rng.integers(0, len(ct)))
+        mutated = bytearray(ct)
+        mutated[pos] ^= 1 << int(rng.integers(0, 8))
+        got_n = native.call("decrypt_u256", bytes(mutated))
+        got_p = FHE.call("decrypt_u256", bytes(mutated))
+        assert got_n == got_p, (pos, got_n[0], got_p[0])
+
+
+def test_fuzz_code_consensus_truncations(native):
+    data = pack.pack_two_arguments(5, pack.U64, b"", pack.BYTES)
+    _, ct = native.call("encrypt_u64", data)
+    for cut in (0, 8, 40, 56, 80, len(ct) // 2, len(ct) - 1):
+        got_n = native.call("decrypt_u64", ct[:cut])
+        got_p = FHE.call("decrypt_u64", ct[:cut])
+        assert got_n == got_p, (cut, got_n[0], got_p[0])
+
+
 def test_frac64_encode_parity_random_bit_patterns(native):
     """The exact-rounding surface: random f64 bit patterns through
     encrypt_frac64 on both paths must agree on (code, payload) -- pins the
