@@ -122,3 +122,75 @@ for name, data in [
     assert code == FHE.call(name, data)[0], (name, code)
 print("C ABI SANITIZER DRIVE PASSED")
 PYEOF
+
+# Phase 3: ThreadSanitizer over the pure-native byte path.  A C driver (no
+# Python -- TSan and CPython don't mix) hammers encrypt/binary-op/decrypt
+# from 4 threads through the same App singleton, exercising the pk-cache
+# LRU, thread-local zstd contexts and scratch arenas under the race
+# detector.
+OUT3="${TMPDIR:-/tmp}/libc_fhe_native_tsan.so"
+g++ -O1 -g -fPIC -std=c++17 -fsanitize=thread \
+    -shared "$REPO/fhe_precompiles_tpu/native/precompiles.cpp" \
+    "$REPO/fhe_precompiles_tpu/native/host_engine.cpp" -o "$OUT3" -lzstd
+DRIVER="${TMPDIR:-/tmp}/tsan_driver"
+cat > "${DRIVER}.c" <<'CEOF'
+#include <pthread.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include "c_fhe.h"
+
+/* pack_two_arguments for encrypt_u64: [u32 BE off1=12][u64 BE v][pd] */
+static void enc_input(uint64_t v, uint8_t out[13]) {
+  out[0] = 0; out[1] = 0; out[2] = 0; out[3] = 12;
+  for (int i = 0; i < 8; ++i) out[4 + i] = (uint8_t)(v >> (56 - 8 * i));
+  out[12] = 0x61;
+}
+
+static uint8_t *g_pk; static int64_t g_pk_len;
+static uint8_t *g_ct[4]; static int64_t g_ct_len[4];
+
+static void *worker(void *arg) {
+  long id = (long)arg;
+  for (int round = 0; round < 3; ++round) {
+    /* binary op: [off1][off2][pk][a][b] */
+    uint32_t off1 = 8 + (uint32_t)g_pk_len;
+    uint32_t off2 = off1 + (uint32_t)g_ct_len[id];
+    size_t len = (size_t)off2 + (size_t)g_ct_len[(id + 1) % 4];
+    uint8_t *buf = malloc(len);
+    buf[0]=off1>>24; buf[1]=off1>>16; buf[2]=off1>>8; buf[3]=off1;
+    buf[4]=off2>>24; buf[5]=off2>>16; buf[6]=off2>>8; buf[7]=off2;
+    memcpy(buf + 8, g_pk, g_pk_len);
+    memcpy(buf + off1, g_ct[id], g_ct_len[id]);
+    memcpy(buf + off2, g_ct[(id + 1) % 4], g_ct_len[(id + 1) % 4]);
+    uint8_t *out = NULL; int64_t out_len = 0;
+    int32_t code = c_fhe_mul_cipheru64_cipheru64(buf, len, &out, &out_len);
+    if (code != 0) { fprintf(stderr, "mul code %d\n", code); exit(1); }
+    uint8_t *dec = NULL; int64_t dec_len = 0;
+    code = c_fhe_decrypt_u64(out, out_len, &dec, &dec_len);
+    if (code != 0 || dec_len != 8) { fprintf(stderr, "dec %d\n", code); exit(1); }
+    fhe_free(out); fhe_free(dec); free(buf);
+  }
+  return NULL;
+}
+
+int main(void) {
+  if (c_fhe_public_key_bytes(NULL, 0, &g_pk, &g_pk_len) != 0) return 1;
+  for (long i = 0; i < 4; ++i) {
+    uint8_t in[13]; enc_input(3 + i, in);
+    if (c_fhe_encrypt_u64(in, 13, &g_ct[i], &g_ct_len[i]) != 0) return 1;
+  }
+  pthread_t th[4];
+  for (long i = 0; i < 4; ++i) pthread_create(&th[i], NULL, worker, (void *)i);
+  for (long i = 0; i < 4; ++i) pthread_join(th[i], NULL);
+  printf("TSAN DRIVE PASSED\n");
+  return 0;
+}
+CEOF
+gcc -O1 -g -fsanitize=thread "${DRIVER}.c" -o "$DRIVER" \
+    -I"$REPO/fhe_precompiles_tpu/native" \
+    -L"$(dirname "$OUT3")" -l:"$(basename "$OUT3")" \
+    -Wl,-rpath,"$(dirname "$OUT3")" -lpthread
+FHE_TPU_NATIVE_DATA="$REPO/fhe_precompiles_tpu/data" \
+TSAN_OPTIONS="halt_on_error=1" "$DRIVER"
