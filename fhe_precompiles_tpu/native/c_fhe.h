@@ -24,6 +24,12 @@
  *   decrypt_*    bare serialized ciphertext; OUTPUT is the scalar's
  *                big-endian bytes (8 B for u64/i64/frac64, 32 B for u256)
  *   public_key_bytes   input ignored; returns the network public key blob
+ *
+ * Configuration (libc_fhe_native.so): the embedded testnet-one network keys
+ * are used by default; set FHE_TPU_NETWORK_PUB / FHE_TPU_NETWORK_PRI to
+ * file paths to serve a different parameter set -- the params are inferred
+ * and validated from the key blobs themselves.  libc_fhe.so instead honors
+ * FHE_TPU_ENGINE=golden|jax|native for its embedded-Python compute path.
  */
 #ifndef FHE_PRECOMPILES_TPU_C_FHE_H
 #define FHE_PRECOMPILES_TPU_C_FHE_H

@@ -1418,20 +1418,37 @@ static std::string data_dir() {
 
 static void init_app() {
   App* app = new App();
-  // testnet.rs:8-14 byte-for-byte (params.py TESTNET_ONE)
-  app->params.n = 4096;
-  app->params.coeff = {0xFFFFEE001ULL, 0xFFFFC4001ULL, 0x1FFFFE0001ULL};
-  app->params.t = 4096;
-  app->n = 4096;
-  app->t = 4096;
+
+  // Key material: the embedded testnet-one network keys by default (the
+  // reference's include_bytes! model, fhe.rs:118-119), or operator-supplied
+  // files via FHE_TPU_NETWORK_PUB/PRI -- in which case the parameter set is
+  // INFERRED from the key blobs themselves (they embed validated Params),
+  // so one binary serves any supported preset with zero config duplication.
+  const char* env_pub = std::getenv("FHE_TPU_NETWORK_PUB");
+  const char* env_pri = std::getenv("FHE_TPU_NETWORK_PRI");
+  if ((env_pub && *env_pub) != (env_pri && *env_pri))
+    throw GenericErr{};  // both or neither
+  if (env_pub && *env_pub) {
+    app->pk_bytes = read_file(env_pub);
+    std::vector<u8> pri = read_file(env_pri);
+    app->net_pk = load_public_key(app->pk_bytes.data(), app->pk_bytes.size());
+    app->net_sk = load_private_key(pri.data(), pri.size());
+    app->params = app->net_pk.params;
+  } else {
+    std::string dir = data_dir();
+    app->pk_bytes = read_file(dir + "/network.pub");
+    std::vector<u8> pri = read_file(dir + "/network.pri");
+    app->net_pk = load_public_key(app->pk_bytes.data(), app->pk_bytes.size());
+    app->net_sk = load_private_key(pri.data(), pri.size());
+    // testnet.rs:8-14 byte-for-byte (params.py TESTNET_ONE)
+    app->params.n = 4096;
+    app->params.coeff = {0xFFFFEE001ULL, 0xFFFFC4001ULL, 0x1FFFFE0001ULL};
+    app->params.t = 4096;
+  }
+  app->n = app->params.n;
+  app->t = app->params.t;
   app->k = app->params.k_ct();
   app->kk = app->params.k_key();
-
-  std::string dir = data_dir();
-  app->pk_bytes = read_file(dir + "/network.pub");
-  std::vector<u8> pri = read_file(dir + "/network.pri");
-  app->net_pk = load_public_key(app->pk_bytes.data(), app->pk_bytes.size());
-  app->net_sk = load_private_key(pri.data(), pri.size());
   if (app->net_pk.params != app->params || app->net_sk.params != app->params)
     throw FheErr{3};  // network key parameter set mismatch (app.py:111-114)
 

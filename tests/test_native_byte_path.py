@@ -334,6 +334,68 @@ def test_frac64_decode_parity_after_arithmetic(native):
             assert got_n == got_p, (v1, v2, op)
 
 
+def test_custom_preset_via_env_keys(native, tmp_path):
+    """FHE_TPU_NETWORK_PUB/PRI point the native ABI at operator-supplied
+    keys; the parameter set is inferred from the blobs, so one binary
+    serves any supported preset.  Run in a subprocess (the App singleton
+    binds per process) against FheApp on the same keys."""
+    import os
+    import sys
+    from fhe_precompiles_tpu.bfv.golden import BfvContext
+    from fhe_precompiles_tpu.params import BENCH_N8192
+    from fhe_precompiles_tpu.serialization import keyio
+    ctx = BfvContext(BENCH_N8192)
+    pk, sk = ctx.generate_keys(seed=b"\x42" * 64)
+    pub = tmp_path / "net.pub"
+    pri = tmp_path / "net.pri"
+    pub.write_bytes(keyio.save_public_key(pk))
+    pri.write_bytes(keyio.save_private_key(sk))
+    script = r"""
+import sys
+import jax; jax.config.update("jax_platforms", "cpu")
+from fhe_precompiles_tpu.native import NativeFhe
+from fhe_precompiles_tpu import FheApp, pack
+from fhe_precompiles_tpu.app import _CT_CODEC
+from fhe_precompiles_tpu.params import BENCH_N8192
+
+lib_path, pub, pri = sys.argv[1:4]
+nat = NativeFhe(lib_path)
+app = FheApp(BENCH_N8192, open(pub, "rb").read(), open(pri, "rb").read())
+for name, data in [
+    ("public_key_bytes", b""),
+    ("encrypt_u64", pack.pack_two_arguments(9, pack.U64, b"p", pack.BYTES)),
+]:
+    assert nat.call(name, data) == app.call(name, data), name
+code, ct = nat.call("encrypt_u64",
+                    pack.pack_two_arguments(6, pack.U64, b"q", pack.BYTES))
+assert code == 0
+from fhe_precompiles_tpu.bfv.golden import Ciphertext
+c = Ciphertext.from_bytes(ct)
+binp = pack.pack_binary_operation(app.public_key, c, _CT_CODEC, c, _CT_CODEC)
+assert nat.call("mul_cipheru64_cipheru64", binp) == \
+    app.call("mul_cipheru64_cipheru64", binp)
+dec = pack.pack_one_argument(Ciphertext.from_bytes(
+    nat.call("mul_cipheru64_cipheru64", binp)[1]), _CT_CODEC)
+got = nat.call("decrypt_u64", dec)
+assert got == app.call("decrypt_u64", dec)
+assert pack.U64.deserialize(got[1]) == 36
+print("CUSTOM PRESET OK")
+"""
+    env = dict(os.environ)
+    env["FHE_TPU_NETWORK_PUB"] = str(pub)
+    env["FHE_TPU_NETWORK_PRI"] = str(pri)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    lib = os.path.join(os.path.dirname(os.path.abspath(__import__(
+        "fhe_precompiles_tpu.native", fromlist=["x"]).__file__)),
+        "libc_fhe_native.so")
+    res = subprocess.run([sys.executable, "-c", script, lib, str(pub),
+                          str(pri)], capture_output=True, text=True,
+                         env=env, timeout=600, cwd="/")
+    assert res.returncode == 0, res.stderr
+    assert "CUSTOM PRESET OK" in res.stdout
+
+
 def test_standalone_c_host_pure_native(native):
     """The same C host program as test_native_abi, linked against the
     zero-Python library -- proof the ABI needs no runtime at all."""
