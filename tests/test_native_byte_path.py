@@ -334,6 +334,19 @@ def test_frac64_decode_parity_after_arithmetic(native):
             assert got_n == got_p, (v1, v2, op)
 
 
+def test_cross_type_decrypt_matrix(native):
+    """decrypt_X of a ciphertext encoding type Y, all 16 combinations:
+    identical (code, payload) on both stacks (some succeed -- e.g. a u64
+    plaintext decodes fine as frac64 -- others overflow to 5)."""
+    for enc_t in SCALARS:
+        ct = _ct(VAL1[enc_t], enc_t, FHE.public_key, b"xt")
+        data = pack.pack_one_argument(ct, _CT_CODEC)
+        for dec_t in SCALARS:
+            got_n = native.call(f"decrypt_{dec_t}", data)
+            got_p = FHE.call(f"decrypt_{dec_t}", data)
+            assert got_n == got_p, (enc_t, dec_t, got_n[0], got_p[0])
+
+
 def test_custom_preset_via_env_keys(native, tmp_path):
     """FHE_TPU_NETWORK_PUB/PRI point the native ABI at operator-supplied
     keys; the parameter set is inferred from the blobs, so one binary
