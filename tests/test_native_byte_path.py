@@ -334,6 +334,47 @@ def test_frac64_decode_parity_after_arithmetic(native):
             assert got_n == got_p, (v1, v2, op)
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_random_op_chain_consensus(native, seed):
+    """A random sequence of binary ops applied to an evolving ciphertext
+    through BOTH stacks, byte equality asserted at every step (noise grows
+    across the chain, exercising decode/rounding regions single ops miss)."""
+    import random
+    rng = random.Random(seed)
+    ct_bytes = native.call("encrypt_u64", pack.pack_two_arguments(
+        rng.randrange(1, 1 << 16), pack.U64, b"chain", pack.BYTES))[1]
+    assert ct_bytes
+    for step in range(6):
+        op = rng.choice(["add", "sub", "mul"])
+        shape = rng.choice(["cc", "cp", "pc"])
+        cur = Ciphertext.from_bytes(ct_bytes)
+        if shape == "cc":
+            other = _ct(rng.randrange(1, 1 << 8), "u64", FHE.public_key,
+                        b"ch%d%d" % (seed, step))
+            data = pack.pack_binary_operation(
+                FHE.public_key, cur, _CT_CODEC, other, _CT_CODEC)
+            name = f"{op}_cipheru64_cipheru64"
+        elif shape == "cp":
+            data = pack.pack_binary_operation(
+                FHE.public_key, cur, _CT_CODEC,
+                rng.randrange(1, 1 << 8), pack.U64)
+            name = f"{op}_cipheru64_u64"
+        else:
+            data = pack.pack_binary_operation(
+                FHE.public_key, rng.randrange(1, 1 << 8), pack.U64,
+                cur, _CT_CODEC)
+            name = f"{op}_u64_cipheru64"
+        got_n = native.call(name, data)
+        got_p = FHE.call(name, data)
+        assert got_n == got_p, (step, name, got_n[0], got_p[0])
+        assert got_n[0] == 0
+        ct_bytes = got_n[1]
+    dec = pack.pack_one_argument(Ciphertext.from_bytes(ct_bytes), _CT_CODEC)
+    for t in SCALARS:  # cross-type decode of the accumulated value
+        assert native.call(f"decrypt_{t}", dec) == FHE.call(f"decrypt_{t}",
+                                                            dec)
+
+
 def test_cross_type_decrypt_matrix(native):
     """decrypt_X of a ciphertext encoding type Y, all 16 combinations:
     identical (code, payload) on both stacks (some succeed -- e.g. a u64
