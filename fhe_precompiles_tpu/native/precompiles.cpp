@@ -236,22 +236,15 @@ static inline void G(u64* v, int a, int b, int c, int d, u64 x, u64 y) {
   v[b] = rotr64(v[b] ^ v[c], 63);
 }
 
-// digest_size = 32, unkeyed, message length <= 128 (parms_id input is
-// (3 + #moduli) * 8 bytes; every preset fits one block).
-static void hash32(const u8* msg, size_t len, u8 out[32]) {
-  u64 h[8];
-  for (int i = 0; i < 8; ++i) h[i] = IV[i];
-  h[0] ^= 0x01010020ULL;  // digest 32, key 0, fanout 1, depth 1
-  u8 blk[128] = {0};
-  std::memcpy(blk, msg, len);
+static void compress(u64 h[8], const u8 blk[128], u64 t, bool last) {
   u64 m[16], v[16];
   for (int i = 0; i < 16; ++i) std::memcpy(&m[i], blk + 8 * i, 8);
   for (int i = 0; i < 8; ++i) {
     v[i] = h[i];
     v[i + 8] = IV[i];
   }
-  v[12] ^= (u64)len;
-  v[14] = ~v[14];
+  v[12] ^= t;  // byte counter low word (inputs here are far below 2^64)
+  if (last) v[14] = ~v[14];
   for (int r = 0; r < 12; ++r) {
     const u8* s = SIGMA[r];
     G(v, 0, 4, 8, 12, m[s[0]], m[s[1]]);
@@ -263,10 +256,26 @@ static void hash32(const u8* msg, size_t len, u8 out[32]) {
     G(v, 2, 7, 8, 13, m[s[12]], m[s[13]]);
     G(v, 3, 4, 9, 14, m[s[14]], m[s[15]]);
   }
-  for (int i = 0; i < 4; ++i) {
-    u64 w = h[i] ^ v[i] ^ v[i + 8];
-    std::memcpy(out + 8 * i, &w, 8);
+  for (int i = 0; i < 8; ++i) h[i] ^= v[i] ^ v[i + 8];
+}
+
+// digest_size = 32, unkeyed, any message length (hashlib.blake2b parity:
+// a wire-valid public key may carry arbitrarily many moduli, so the
+// parms_id input (3 + #moduli) * 8 bytes can exceed one 128-byte block;
+// the single-block shortcut used to diverge from Python at 14+ moduli).
+static void hash32(const u8* msg, size_t len, u8 out[32]) {
+  u64 h[8];
+  for (int i = 0; i < 8; ++i) h[i] = IV[i];
+  h[0] ^= 0x01010020ULL;  // digest 32, key 0, fanout 1, depth 1
+  size_t off = 0;
+  while (len - off > 128) {  // full non-final blocks
+    compress(h, msg + off, (u64)(off + 128), false);
+    off += 128;
   }
+  u8 blk[128] = {0};
+  std::memcpy(blk, msg + off, len - off);
+  compress(h, blk, (u64)len, true);
+  for (int i = 0; i < 4; ++i) std::memcpy(out + 8 * i, &h[i], 8);
 }
 
 }  // namespace b2b
@@ -532,7 +541,9 @@ static Params read_params(Reader& r) {
   Params p;
   p.n = r.rd_u64();
   u64 count = r.rd_u64();
-  if (count > 64) enc_err();  // sane bound; real blobs carry 1-4
+  // No arbitrary count cap: Python keyio.read_params has none, and a cap
+  // here split error-code consensus at 65+ moduli.  A huge wire count is
+  // naturally bounded by the input length (rd_u64 EOF -> code 3).
   for (u64 i = 0; i < count; ++i) p.coeff.push_back(r.rd_u64());
   p.t = r.rd_u64();
   if (r.rd_u32() != 0) enc_err();  // scheme tag: bfv only
@@ -667,7 +678,6 @@ static std::array<u8, 32> compute_parms_id(u64 n, const std::vector<u64>& ms,
   for (u64 m : ms) words.push_back(m);
   words.push_back(t);
   std::array<u8, 32> id;
-  if (words.size() * 8 > 128) enc_err();  // single-block limit; never hit
   b2b::hash32((const u8*)words.data(), words.size() * 8, id.data());
   return id;
 }
@@ -762,13 +772,14 @@ struct KSwitchBlob {
     u64 nvec;
     std::memcpy(&nvec, p + 32, 8);
     off = 40;
-    if (nvec > 64) enc_err();  // sane bound
+    // No count caps (Python seal.py:247-253 has none; caps here would
+    // split error-code consensus).  Every iteration consumes bytes, so a
+    // huge wire count just hits the truncation checks below.
     for (u64 v = 0; v < nvec; ++v) {
       if (plen - off < 8) enc_err();
       u64 cnt;
       std::memcpy(&cnt, p + off, 8);
       off += 8;
-      if (cnt > 64) enc_err();
       std::vector<CtBlob> vec;
       for (u64 i = 0; i < cnt; ++i) {
         u64 sz;
@@ -1102,15 +1113,31 @@ static std::vector<u8> scalar_serialize(const Scalar& s) {
   return out;
 }
 
-// encoding.encode_unsigned: binary digit i of v at coefficient i.
+// encoding.encode_unsigned: binary digit i of v at coefficient i.  Python
+// writes out[i] for every i < bitlen(v) and hits IndexError when the value
+// needs more digits than the ring has (possible with operator-supplied
+// small-n keys); GenericErr maps to the same codes at the catch sites
+// (binary op -> 7, encrypt -> 6).  Without the check this wrote past the
+// n-element vector (heap corruption from untrusted calldata).
 static void encode_bits_u64(u64 v, std::vector<u64>* out) {
+  if (v) {
+    u64 bl = 64 - (u64)__builtin_clzll(v);
+    if (bl > out->size()) throw GenericErr{};  // encoding.py:64 IndexError
+  }
   for (int i = 0; v; ++i, v >>= 1) (*out)[i] = v & 1;
 }
 
 static std::vector<u64> encode_u256(const std::array<u8, 32>& be, u64 n) {
   std::vector<u64> out(n, 0);
-  for (int bit = 0; bit < 256; ++bit) {
+  // bitlen of the 256-bit value; Python fails iff bitlen > n
+  int top = -1;
+  for (int bit = 255; bit >= 0; --bit) {
     int byte_idx = 31 - bit / 8;  // big-endian
+    if ((be[byte_idx] >> (bit % 8)) & 1) { top = bit; break; }
+  }
+  if (top >= 0 && (u64)(top + 1) > n) throw GenericErr{};  // IndexError -> 7/6
+  for (int bit = 0; bit <= top; ++bit) {
+    int byte_idx = 31 - bit / 8;
     if ((be[byte_idx] >> (bit % 8)) & 1) out[bit] = 1;
   }
   return out;
@@ -1148,7 +1175,12 @@ static std::vector<u64> encode_frac64v(double v, u64 n, u64 t) {
   double m = std::frexp(std::fabs(v), &exp);
   u64 M = (u64)std::ldexp(m, 53);  // v = +-M * 2^(exp-53), M < 2^53
   int e2 = exp - 53;
-  u64 max_frac = n - FRAC_INT_BITS;
+  // signed: n < 64 (operator-supplied keys) means the ring has NO
+  // fractional coefficients at all — the old unsigned n-64 underflowed to
+  // ~2^64, skipped the bound check and indexed out[n-j] out of bounds.
+  // Python's `while frac_part and j <= max_frac` with a negative max_frac
+  // never runs and any fractional bit raises overflow (encoding.py:116-124).
+  i64 max_frac = (i64)n - (i64)FRAC_INT_BITS;
   if (e2 >= 0) {
     // pure integer: need bitlen(M) + e2 <= 64
     int bl = 64 - __builtin_clzll(M);
@@ -1164,8 +1196,8 @@ static std::vector<u64> encode_frac64v(double v, u64 n, u64 t) {
     for (unsigned j = 1; j <= sh; ++j) {
       unsigned bitpos = sh - j;
       if (bitpos < 64 && ((M >> bitpos) & 1)) {
-        if (j > max_frac) ovf_err();  // more precision than the ring has
-        out[n - j] = t - 1;
+        if ((i64)j > max_frac) ovf_err();  // more precision than ring has
+        out[n - j] = t - 1;  // j <= n-64 => index >= 64, in bounds
       }
     }
   }
@@ -1239,6 +1271,10 @@ static Scalar decode_plain(int tag, const u64* poly, u64 n, u64 t) {
   Scalar s;
   s.tag = tag;
   if (tag == T_FRAC64) {
+    // n < 64: Python's `Fraction(frac, 1 << (n-64))` raises ValueError on
+    // the negative shift -> decrypt-side catch -> code 5.  Without this the
+    // composes below read 64 coefficients from an n-element poly (OOB).
+    if (n < FRAC_INT_BITS) throw GenericErr{};
     long kbits = (long)(n - FRAC_INT_BITS);
     SBig ip = compose_centered(poly, FRAC_INT_BITS, t);
     SBig fr = compose_centered(poly + FRAC_INT_BITS, n - FRAC_INT_BITS, t);
@@ -1560,24 +1596,29 @@ static std::vector<u8> do_binary(App* a, Op op, Shape shape, int tag,
                                  const u8* input, size_t len) {
   View pk_v, a_v, b_v;
   unpack_binary_operation(input, len, &pk_v, &a_v, &b_v);
+  // Parse ALL three calldata segments before any params check: FheApp
+  // deserializes pk, a and b eagerly inside unpack_binary_operation
+  // (pack.py:195-197) and only then runs _check_params, so a mismatched-
+  // params pk combined with a malformed operand must return 3 (parse), not
+  // 7 — checking pk params first here split validator consensus.
   auto pk_entry = parse_pk_cached(a, pk_v.p, pk_v.len);
   const PublicKey* pk = &pk_entry->pk;
-  check_params(a, pk->params, 7);
 
   Ciphertext ca, cb;
   Scalar sa, sb;
-  if (shape == CC || shape == CP) {
+  if (shape == CC || shape == CP)
     ca = load_ciphertext(a_v.p, a_v.len);
-    check_params(a, ca.params, 7);
-  } else {
+  else
     sa = scalar_deserialize(tag, a_v.p, a_v.len);
-  }
-  if (shape == CC || shape == PC) {
+  if (shape == CC || shape == PC)
     cb = load_ciphertext(b_v.p, b_v.len);
-    check_params(a, cb.params, 7);
-  } else {
+  else
     sb = scalar_deserialize(tag, b_v.p, b_v.len);
-  }
+
+  // app.py _binary_op check order: pk, then a, then b (all code 7)
+  check_params(a, pk->params, 7);
+  if (shape == CC || shape == CP) check_params(a, ca.params, 7);
+  if (shape == CC || shape == PC) check_params(a, cb.params, 7);
 
   const u64 n = a->n;
   const size_t k = a->k;

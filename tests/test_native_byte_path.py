@@ -388,6 +388,158 @@ def test_cross_type_decrypt_matrix(native):
             assert got_n == got_p, (enc_t, dec_t, got_n[0], got_p[0])
 
 
+def test_error_order_mismatched_pk_with_malformed_operand(native):
+    """Regression (round-3 advisor): FheApp deserializes pk, a AND b before
+    any params check (pack.py:195-197 then _check_params), so calldata with
+    a valid-but-mismatched-params pk plus a malformed ciphertext operand
+    must return 3 (parse error) on BOTH stacks.  The native path used to
+    check the pk's params first and return 7 — a validator consensus break."""
+    import numpy as np
+    from fhe_precompiles_tpu.bfv.golden import PublicKey
+    from fhe_precompiles_tpu.params import Params, ntt_friendly_primes
+
+    other = Params(poly_modulus_degree=4096,
+                   coeff_modulus=ntt_friendly_primes(
+                       4096, 3, exclude=FHE.params.coeff_modulus),
+                   plain_modulus=4096)
+    zero_pk = PublicKey(other, np.zeros((2, 3, 4096), dtype=np.uint64))
+    good_ct = _ct(5, "u64", FHE.public_key, b"ord")
+
+    # mismatched pk + malformed operand -> parse error 3 on both stacks
+    data = pack.pack_binary_operation(zero_pk, b"\xde\xad\xbe\xef" * 4,
+                                      pack.BYTES, good_ct, _CT_CODEC)
+    got_n = native.call("add_cipheru64_cipheru64", data)
+    got_p = FHE.call("add_cipheru64_cipheru64", data)
+    assert got_n == got_p == (3, b"")
+
+    # malformed SECOND operand behind a mismatched pk: still 3 on both
+    data = pack.pack_binary_operation(zero_pk, good_ct, _CT_CODEC,
+                                      b"\x00" * 7, pack.BYTES)
+    got_n = native.call("add_cipheru64_cipheru64", data)
+    got_p = FHE.call("add_cipheru64_cipheru64", data)
+    assert got_n == got_p == (3, b"")
+
+    # mismatched pk + well-formed operands -> params check fires: 7 on both
+    data = pack.pack_binary_operation(zero_pk, good_ct, _CT_CODEC,
+                                      good_ct, _CT_CODEC)
+    got_n = native.call("add_cipheru64_cipheru64", data)
+    got_p = FHE.call("add_cipheru64_cipheru64", data)
+    assert got_n == got_p == (7, b"")
+
+
+@pytest.mark.parametrize("nmods", [14, 65])
+def test_many_moduli_pk_parms_id_consensus(native, nmods):
+    """Regression (round-3 advisor): a wire-valid public key carrying 14+
+    moduli makes the parms_id input exceed one BLAKE2b block; the native
+    single-block hash (and a 64-moduli count cap Python never had) used to
+    return 3 where FheApp returns 7 (loads fine, fails the params check)."""
+    import numpy as np
+    from fhe_precompiles_tpu.bfv.golden import PublicKey
+    from fhe_precompiles_tpu.params import Params, ntt_friendly_primes
+
+    other = Params(poly_modulus_degree=4096,
+                   coeff_modulus=ntt_friendly_primes(
+                       4096, nmods, exclude=FHE.params.coeff_modulus),
+                   plain_modulus=4096)
+    zero_pk = PublicKey(other,
+                        np.zeros((2, nmods, 4096), dtype=np.uint64))
+    good_ct = _ct(5, "u64", FHE.public_key, b"mm")
+    data = pack.pack_binary_operation(zero_pk, good_ct, _CT_CODEC,
+                                      good_ct, _CT_CODEC)
+    got_n = native.call("add_cipheru64_cipheru64", data)
+    got_p = FHE.call("add_cipheru64_cipheru64", data)
+    assert got_n == got_p == (7, b"")
+
+
+def test_small_n_encoder_bounds_consensus(native, tmp_path):
+    """Regression (round-3 advisor): with operator-supplied small-n keys
+    (FHE_TPU_NETWORK_PUB/PRI, n=32 here), plaintext encoders must reject
+    values needing more binary digits than the ring has — exactly like
+    Python's IndexError/overflow paths — instead of writing past the
+    n-element coefficient vector (heap corruption from untrusted calldata)."""
+    import os
+    import sys
+    from fhe_precompiles_tpu.bfv.golden import BfvContext
+    from fhe_precompiles_tpu.params import Params, ntt_friendly_primes
+    from fhe_precompiles_tpu.serialization import keyio
+    tiny = Params(poly_modulus_degree=32,
+                  coeff_modulus=ntt_friendly_primes(32, 2, below=1 << 27),
+                  plain_modulus=64)
+    ctx = BfvContext(tiny)
+    pk, sk = ctx.generate_keys(seed=b"\x07" * 64)
+    pub = tmp_path / "tiny.pub"
+    pri = tmp_path / "tiny.pri"
+    pub.write_bytes(keyio.save_public_key(pk))
+    pri.write_bytes(keyio.save_private_key(sk))
+    script = r"""
+import sys
+import jax; jax.config.update("jax_platforms", "cpu")
+from fhe_precompiles_tpu.native import NativeFhe
+from fhe_precompiles_tpu import FheApp, pack
+from fhe_precompiles_tpu.app import _CT_CODEC
+from fhe_precompiles_tpu.bfv.golden import Ciphertext
+from fhe_precompiles_tpu.params import Params, ntt_friendly_primes
+
+lib_path, pub, pri = sys.argv[1:4]
+nat = NativeFhe(lib_path)
+tiny = Params(poly_modulus_degree=32,
+              coeff_modulus=ntt_friendly_primes(32, 2, below=1 << 27),
+              plain_modulus=64)
+app = FheApp(tiny, open(pub, "rb").read(), open(pri, "rb").read())
+
+def both(name, data):
+    got_n = nat.call(name, data)
+    got_p = app.call(name, data)
+    assert got_n == got_p, (name, got_n[0], got_p[0])
+    return got_n
+
+def two(v, sc):
+    return pack.pack_two_arguments(v, sc, b"pd", pack.BYTES)
+
+# in-range values still encrypt byte-identically at n=32
+ct16 = both("encrypt_u64", two(16, pack.U64))
+assert ct16[0] == 0
+both("encrypt_u256", two((1 << 31) | 5, pack.U256))
+
+# values needing > n binary digits: IndexError path -> FailedEncryption(6)
+assert both("encrypt_u256", two(1 << 255, pack.U256))[0] == 6
+assert both("encrypt_u256", two((1 << 255) | 1, pack.U256))[0] == 6
+assert both("encrypt_u64", two(1 << 40, pack.U64))[0] == 6
+assert both("encrypt_i64", two(-(1 << 40), pack.I64))[0] == 6
+
+# frac64 with n < 64: no fractional coefficients exist -> overflow -> 6;
+# a pure small integer encodes, but decode needs n >= 64 -> 5
+assert both("encrypt_frac64", two(0.5, pack.FRAC64))[0] == 6
+ct3 = both("encrypt_frac64", two(3.0, pack.FRAC64))
+assert ct3[0] == 0
+dec = pack.pack_one_argument(Ciphertext.from_bytes(ct3[1]), _CT_CODEC)
+assert both("decrypt_frac64", dec)[0] == 5
+
+# cipher-plain op whose scalar overflows the ring -> RuntimeError(7)
+cur = Ciphertext.from_bytes(ct16[1])
+data = pack.pack_binary_operation(app.public_key, cur, _CT_CODEC,
+                                  1 << 40, pack.U64)
+assert both("add_cipheru64_u64", data)[0] == 7
+data = pack.pack_binary_operation(app.public_key, cur, _CT_CODEC,
+                                  7, pack.U64)
+assert both("add_cipheru64_u64", data)[0] == 0
+print("SMALL N OK")
+"""
+    env = dict(os.environ)
+    env["FHE_TPU_NETWORK_PUB"] = str(pub)
+    env["FHE_TPU_NETWORK_PRI"] = str(pri)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    lib = os.path.join(os.path.dirname(os.path.abspath(__import__(
+        "fhe_precompiles_tpu.native", fromlist=["x"]).__file__)),
+        "libc_fhe_native.so")
+    res = subprocess.run([sys.executable, "-c", script, lib, str(pub),
+                          str(pri)], capture_output=True, text=True,
+                         env=env, timeout=600, cwd="/")
+    assert res.returncode == 0, res.stderr
+    assert "SMALL N OK" in res.stdout
+
+
 def test_custom_preset_via_env_keys(native, tmp_path):
     """FHE_TPU_NETWORK_PUB/PRI point the native ABI at operator-supplied
     keys; the parameter set is inferred from the blobs, so one binary
