@@ -80,6 +80,77 @@ FHE_PRECOMPILE_LIST(FHE_PRECOMPILE_DECLARE)
 
 #undef FHE_PRECOMPILE_DECLARE
 
+/* ------------------------------------------------------------------------
+ * TPU-host batched codec extension (libc_fhe_native.so only; NOT part of
+ * the 51-symbol reference surface).
+ *
+ * These split each precompile at the decode/compute boundary so a serving
+ * host can run the codec (zstd + bincode/SEAL + plaintext encoding + all
+ * wire checks) in C++ worker threads while batching the FHE compute on an
+ * accelerator — with the same error codes and check order as the one-shot
+ * c_fhe_* path, so per-request (code, payload) stays byte-identical.
+ *
+ * All array buffers are caller-allocated u64, row-major; dims come from
+ * fhe_tpu_params(): ciphertexts are (2, k_ct, n), encoded plaintext polys
+ * and decrypted polys are (n,), relin keys are (k_ct, 2, k_key, n).
+ * ---------------------------------------------------------------------- */
+
+/* Bind the library to in-memory network key blobs (the keyio.py wire
+ * format).  Must agree with any earlier initialization (embedded keys /
+ * FHE_TPU_NETWORK_PUB/PRI / a prior call): returns 3 on key mismatch. */
+int32_t fhe_tpu_init_keys(const uint8_t *pub, size_t pub_len,
+                          const uint8_t *pri, size_t pri_len);
+
+/* Active parameter set: ring size n, ciphertext limbs k_ct, key limbs
+ * k_key, plain modulus t. */
+int32_t fhe_tpu_params(uint64_t *n, uint64_t *k_ct, uint64_t *k_key,
+                       uint64_t *t);
+
+/* Decode one binary-op calldata blob (name = the c_fhe_* suffix, e.g.
+ * "mul_cipheru64_cipheru64").  On 0: *shape = 0 cc / 1 cp / 2 pc, *op =
+ * 0 add / 1 sub / 2 mul; cc fills ct<-a and other<-b (each only if its
+ * size == 2; sizes reported via ct_size/other_size — a size != 2 is
+ * legal data the caller must route to the one-shot path); cp/pc fill
+ * ct<-the ciphertext operand and other<-the encoded (n,) plaintext poly
+ * (other_size = 0).  *pk_handle receives an owned reference: release
+ * with fhe_tpu_pk_release; group batches by fhe_tpu_pk_id. */
+int32_t fhe_tpu_unpack_binary(const char *name, const uint8_t *data,
+                              size_t data_len, uint64_t *ct, uint64_t *other,
+                              int32_t *shape, int32_t *op, uint64_t *ct_size,
+                              uint64_t *other_size, void **pk_handle);
+
+/* Stable identity of the parsed public key while the handle is held
+ * (equal ids <=> byte-identical pk blobs). */
+int32_t fhe_tpu_pk_id(void *pk_handle, uint64_t *id);
+
+/* Copy the key's relinearization block (k_ct, 2, k_key, n); 7 if the key
+ * carries none. */
+int32_t fhe_tpu_pk_relin(void *pk_handle, uint64_t *rk_out);
+
+void fhe_tpu_pk_release(void *pk_handle);
+
+/* Raw (size, k_ct, n) residues -> the serialized ciphertext bytes every
+ * op emits (malloc'd; release with fhe_free). */
+int32_t fhe_tpu_pack_ciphertext(const uint64_t *data, uint64_t size,
+                                uint8_t **out, int64_t *out_len);
+
+/* Decode one encrypt_<tname> calldata blob: writes the encoded (n,)
+ * plaintext poly and the 64-byte deterministic seed (fhe.rs:600-611).
+ * The caller runs the seeded encrypt under the NETWORK public key. */
+int32_t fhe_tpu_unpack_encrypt(const char *tname, const uint8_t *data,
+                               size_t data_len, uint64_t *m,
+                               uint8_t *seed64);
+
+/* Decode one decrypt_* calldata blob (bare ciphertext): fills ct iff its
+ * size == 2 (other sizes: fall back to the one-shot path). */
+int32_t fhe_tpu_unpack_decrypt(const uint8_t *data, size_t data_len,
+                               uint64_t *ct, uint64_t *ct_size);
+
+/* Decrypted (n,) mod-t poly -> big-endian scalar bytes of <tname>
+ * (malloc'd; release with fhe_free).  Any decode failure returns 5. */
+int32_t fhe_tpu_decode_scalar(const char *tname, const uint64_t *poly,
+                              uint8_t **out, int64_t *out_len);
+
 #ifdef __cplusplus
 }  /* extern "C" */
 #endif

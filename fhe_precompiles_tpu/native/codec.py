@@ -1,0 +1,215 @@
+"""ctypes binding of the fhe_tpu_* batched codec extension.
+
+The C++ codec in ``precompiles.cpp`` (calldata framing, bincode/SEAL/zstd,
+plaintext encodings, wire checks — the full decode/encode halves of the
+reference byte contract, c_fhe.rs:8-59) exposed at the decode/compute
+boundary so ``serve.ByteServer`` can run the host codec in C++ worker
+threads (no GIL on the path: ctypes releases it for every call) while the
+FHE compute batches on the TPU.  Error codes and check order are identical
+to the one-shot path, which is what keeps the server byte-equal to
+``FheApp.call`` per request (tests/test_serve.py::*native_codec*).
+"""
+from __future__ import annotations
+
+import ctypes
+from ctypes import (POINTER, byref, c_char_p, c_int32, c_int64, c_size_t,
+                    c_uint64, c_uint8, c_void_p)
+from typing import Optional, Tuple
+
+import numpy as np
+
+_U64P = POINTER(c_uint64)
+
+
+class PkRef:
+    """Owned reference to a parsed public key inside the native LRU.
+
+    ``id`` is a stable grouping identity while the reference is held
+    (equal ids <=> byte-identical pk blobs).  Release explicitly or let
+    the finalizer do it.
+    """
+
+    __slots__ = ("_lib", "_handle", "id")
+
+    def __init__(self, lib, handle: int):
+        self._lib = lib
+        self._handle = handle
+        ident = c_uint64()
+        lib.fhe_tpu_pk_id(handle, byref(ident))
+        self.id = ident.value
+
+    def relin(self, k_ct: int, k_key: int, n: int) -> np.ndarray:
+        """The key's (k_ct, 2, k_key, n) relin block (raises if absent)."""
+        out = np.empty((k_ct, 2, k_key, n), dtype=np.uint64)
+        rc = self._lib.fhe_tpu_pk_relin(self._handle, out.ctypes.data_as(_U64P))
+        if rc:
+            raise ValueError(f"fhe_tpu_pk_relin failed: code {rc}")
+        return out
+
+    def release(self) -> None:
+        if self._handle:
+            self._lib.fhe_tpu_pk_release(self._handle)
+            self._handle = 0
+
+    def __del__(self):  # pragma: no cover - GC order dependent
+        try:
+            self.release()
+        except Exception:
+            pass
+
+
+class NativeCodec:
+    """Host-side byte codec backed by libc_fhe_native.so.
+
+    Binds the library to the given app's network keys (so its params
+    checks, seeds and output framing agree with the app exactly), then
+    serves per-request decode/encode calls.
+    """
+
+    def __init__(self, app, path: Optional[str] = None):
+        import os
+        import subprocess
+
+        from ..serialization import keyio
+
+        d = os.path.dirname(os.path.abspath(__file__))
+        lib_path = path or os.path.join(d, "libc_fhe_native.so")
+        if path is None and not os.path.exists(lib_path):
+            subprocess.run(["make", "-C", d, "libc_fhe_native.so"],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(lib_path)
+        lib.fhe_tpu_init_keys.argtypes = [c_char_p, c_size_t, c_char_p,
+                                          c_size_t]
+        lib.fhe_tpu_init_keys.restype = c_int32
+        lib.fhe_tpu_params.argtypes = [POINTER(c_uint64)] * 4
+        lib.fhe_tpu_params.restype = c_int32
+        lib.fhe_tpu_unpack_binary.argtypes = [
+            c_char_p, c_char_p, c_size_t, _U64P, _U64P, POINTER(c_int32),
+            POINTER(c_int32), POINTER(c_uint64), POINTER(c_uint64),
+            POINTER(c_void_p)]
+        lib.fhe_tpu_unpack_binary.restype = c_int32
+        lib.fhe_tpu_pk_id.argtypes = [c_void_p, POINTER(c_uint64)]
+        lib.fhe_tpu_pk_id.restype = c_int32
+        lib.fhe_tpu_pk_relin.argtypes = [c_void_p, _U64P]
+        lib.fhe_tpu_pk_relin.restype = c_int32
+        lib.fhe_tpu_pk_release.argtypes = [c_void_p]
+        lib.fhe_tpu_pk_release.restype = None
+        lib.fhe_tpu_pack_ciphertext.argtypes = [
+            _U64P, c_uint64, POINTER(c_void_p), POINTER(c_int64)]
+        lib.fhe_tpu_pack_ciphertext.restype = c_int32
+        lib.fhe_tpu_unpack_encrypt.argtypes = [
+            c_char_p, c_char_p, c_size_t, _U64P, POINTER(c_uint8)]
+        lib.fhe_tpu_unpack_encrypt.restype = c_int32
+        lib.fhe_tpu_unpack_decrypt.argtypes = [
+            c_char_p, c_size_t, _U64P, POINTER(c_uint64)]
+        lib.fhe_tpu_unpack_decrypt.restype = c_int32
+        lib.fhe_tpu_decode_scalar.argtypes = [
+            c_char_p, _U64P, POINTER(c_void_p), POINTER(c_int64)]
+        lib.fhe_tpu_decode_scalar.restype = c_int32
+        lib.fhe_free.argtypes = [c_void_p]
+        lib.fhe_free.restype = None
+        self.lib = lib
+
+        pub = app._public_key_bytes
+        pri = keyio.save_private_key(app.private_key)
+        rc = lib.fhe_tpu_init_keys(pub, len(pub), pri, len(pri))
+        if rc:
+            raise RuntimeError(
+                f"fhe_tpu_init_keys failed (code {rc}): the native library "
+                "is already bound to different network keys in this process")
+        n = c_uint64()
+        k_ct = c_uint64()
+        k_key = c_uint64()
+        t = c_uint64()
+        lib.fhe_tpu_params(byref(n), byref(k_ct), byref(k_key), byref(t))
+        p = app.params
+        if (n.value, k_ct.value, k_key.value, t.value) != (
+                p.n, len(p.ct_moduli), len(p.key_moduli), p.t):
+            raise RuntimeError("native codec params disagree with the app")
+        self.n, self.k, self.kk = p.n, len(p.ct_moduli), len(p.key_moduli)
+
+    # ------------------------------------------------------------------
+    def unpack_binary(self, name: str, data: bytes):
+        """Decode a binary-op calldata blob.
+
+        Returns (code, shape, op, ct, other, ct_size, other_size, pk)
+        with shape in {"cc","cp","pc"}, op in {"add","sub","mul"};
+        ct/other are (2,k,n) u64 arrays (cc) or ct + (n,) encoded plain
+        (cp/pc); a ct with reported size != 2 is valid-but-unbatchable
+        (its array contents are undefined) — route to the one-shot path.
+        """
+        k, n = self.k, self.n
+        ct = np.empty((2, k, n), dtype=np.uint64)
+        other = np.empty((2, k, n), dtype=np.uint64)  # >= (n,) for cp/pc
+        shape = c_int32()
+        op = c_int32()
+        ct_size = c_uint64()
+        other_size = c_uint64()
+        handle = c_void_p()
+        rc = self.lib.fhe_tpu_unpack_binary(
+            name.encode(), data, len(data), ct.ctypes.data_as(_U64P),
+            other.ctypes.data_as(_U64P), byref(shape), byref(op),
+            byref(ct_size), byref(other_size), byref(handle))
+        if rc:
+            return rc, None, None, None, None, 0, 0, None
+        pk = PkRef(self.lib, handle.value)
+        shape_s = ("cc", "cp", "pc")[shape.value]
+        op_s = ("add", "sub", "mul")[op.value]
+        if shape_s != "cc":
+            other = other.reshape(-1)[:n]  # the encoded plaintext poly
+        return 0, shape_s, op_s, ct, other, ct_size.value, \
+            other_size.value, pk
+
+    def pack_ciphertext(self, data: np.ndarray) -> bytes:
+        """(size, k, n) u64 residues -> serialized ciphertext bytes."""
+        arr = np.ascontiguousarray(data, dtype=np.uint64)
+        out = c_void_p()
+        out_len = c_int64()
+        rc = self.lib.fhe_tpu_pack_ciphertext(
+            arr.ctypes.data_as(_U64P), arr.shape[0], byref(out),
+            byref(out_len))
+        if rc:
+            raise ValueError(f"fhe_tpu_pack_ciphertext failed: code {rc}")
+        try:
+            return ctypes.string_at(out.value, out_len.value)
+        finally:
+            self.lib.fhe_free(out)
+
+    def unpack_encrypt(self, tname: str, data: bytes
+                       ) -> Tuple[int, Optional[np.ndarray], bytes]:
+        """Decode an encrypt_<tname> blob -> (code, (n,) plain, seed64)."""
+        m = np.empty(self.n, dtype=np.uint64)
+        seed = (c_uint8 * 64)()
+        rc = self.lib.fhe_tpu_unpack_encrypt(tname.encode(), data, len(data),
+                                             m.ctypes.data_as(_U64P), seed)
+        if rc:
+            return rc, None, b""
+        return 0, m, bytes(seed)
+
+    def unpack_decrypt(self, data: bytes
+                       ) -> Tuple[int, Optional[np.ndarray], int]:
+        """Decode a decrypt_* blob -> (code, (2,k,n) ct, size)."""
+        ct = np.empty((2, self.k, self.n), dtype=np.uint64)
+        size = c_uint64()
+        rc = self.lib.fhe_tpu_unpack_decrypt(data, len(data),
+                                             ct.ctypes.data_as(_U64P),
+                                             byref(size))
+        if rc:
+            return rc, None, 0
+        return 0, ct, size.value
+
+    def decode_scalar(self, tname: str, poly: np.ndarray
+                      ) -> Tuple[int, bytes]:
+        """(n,) mod-t poly -> (code, big-endian scalar bytes)."""
+        arr = np.ascontiguousarray(poly, dtype=np.uint64)
+        out = c_void_p()
+        out_len = c_int64()
+        rc = self.lib.fhe_tpu_decode_scalar(tname.encode(),
+                                            arr.ctypes.data_as(_U64P),
+                                            byref(out), byref(out_len))
+        if rc:
+            return rc, b""
+        try:
+            return 0, ctypes.string_at(out.value, out_len.value)
+        finally:
+            self.lib.fhe_free(out)

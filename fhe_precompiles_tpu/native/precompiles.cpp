@@ -1420,6 +1420,13 @@ struct App {
 static App* g_app = nullptr;
 static std::once_flag g_once;
 
+// Optional in-memory key blobs staged by fhe_tpu_init_keys() before the
+// first call; take precedence over FHE_TPU_NETWORK_PUB/PRI and the
+// embedded files.  Lets an embedding host (e.g. ByteServer) bind the
+// library to ITS key material without touching the environment.
+static std::vector<u8> g_staged_pub, g_staged_pri;
+static std::mutex g_staged_mu;
+
 static std::vector<u8> read_file(const std::string& path) {
   FILE* f = std::fopen(path.c_str(), "rb");
   if (!f) throw GenericErr{};
@@ -1464,7 +1471,20 @@ static void init_app() {
   const char* env_pri = std::getenv("FHE_TPU_NETWORK_PRI");
   if ((env_pub && *env_pub) != (env_pri && *env_pri))
     throw GenericErr{};  // both or neither
-  if (env_pub && *env_pub) {
+  std::vector<u8> staged_pub, staged_pri;
+  {
+    // snapshot under the lock: a concurrent fhe_tpu_init_keys may be
+    // staging blobs while another thread races into first-call init
+    std::lock_guard<std::mutex> lock(g_staged_mu);
+    staged_pub = g_staged_pub;
+    staged_pri = g_staged_pri;
+  }
+  if (!staged_pub.empty()) {
+    app->pk_bytes = std::move(staged_pub);
+    app->net_pk = load_public_key(app->pk_bytes.data(), app->pk_bytes.size());
+    app->net_sk = load_private_key(staged_pri.data(), staged_pri.size());
+    app->params = app->net_pk.params;
+  } else if (env_pub && *env_pub) {
     app->pk_bytes = read_file(env_pub);
     std::vector<u8> pri = read_file(env_pri);
     app->net_pk = load_public_key(app->pk_bytes.data(), app->pk_bytes.size());
@@ -1809,6 +1829,294 @@ static int32_t run_precompile(const char* name, const u8* bytes,
   }
 }
 
+// ---------------------------------------------------------------------------
+// TPU-host batched codec front end (fhe_tpu_* — an extension beyond the
+// 49-op reference ABI, exported only by libc_fhe_native.so).
+//
+// Purpose: a TPU serving host (serve.ByteServer) wants the byte surface —
+// calldata in, calldata out, per c_fhe.rs:8-59 — but with the host codec
+// work (zstd, bincode/SEAL parsing, plaintext encoding, range checks) in
+// C++ worker threads and the FHE compute batched on the device.  These
+// entry points split do_binary/do_encrypt/do_decrypt at exactly the
+// decode/compute boundary, preserving the same error codes and check
+// order, so the server's (code, payload) stays byte-identical to
+// FheApp.call / c_fhe_* one call at a time.
+// ---------------------------------------------------------------------------
+
+// Opaque pk reference handed to the host: keeps the LRU entry alive (the
+// cache may evict underneath) and gives a stable grouping identity.
+struct PkHandle {
+  std::shared_ptr<App::CacheEntry> e;
+};
+
+static bool parse_binary_name(const char* name, Op* op, Shape* shape,
+                              int* tag) {
+  std::string s(name);
+  size_t us = s.find('_');
+  if (us == std::string::npos) return false;
+  std::string head = s.substr(0, us), rest = s.substr(us + 1);
+  if (head == "add") *op = OP_ADD;
+  else if (head == "sub") *op = OP_SUB;
+  else if (head == "mul") *op = OP_MUL;
+  else return false;
+  size_t mid = rest.find('_');
+  if (mid == std::string::npos) return false;
+  std::string at = rest.substr(0, mid), bt = rest.substr(mid + 1);
+  bool a_ct = at.rfind("cipher", 0) == 0, b_ct = bt.rfind("cipher", 0) == 0;
+  if (!parse_type(a_ct ? at.substr(6) : at, tag)) return false;
+  *shape = a_ct && b_ct ? CC : (a_ct ? CP : PC);
+  return true;
+}
+
+// Decode phase of do_binary: parse + params/relin checks + plaintext
+// encoding, NO compute.  On success (returns 0):
+//   cc:     ct_out <- a (iff size 2), other_out <- b (iff size 2),
+//           ct_size/other_size = sizes
+//   cp/pc:  ct_out <- the ciphertext operand (iff size 2), other_out <-
+//           the encoded plaintext poly (n,), other_size = 0
+//   pk_handle <- owned reference (fhe_tpu_pk_release), pk identity via
+//   fhe_tpu_pk_id.  A ciphertext of size != 2 is NOT an error (add/sub of
+//   size-3 cts and any-size plain ops are legal): the caller must fall
+//   back to the one-shot path for those requests.
+static int32_t tpu_unpack_binary(const char* name, const u8* input,
+                                 size_t len, u64* ct_out, u64* other_out,
+                                 int32_t* shape_out, int32_t* op_out,
+                                 u64* ct_size_out, u64* other_size_out,
+                                 void** pk_handle) {
+  if (!name || !ct_out || !other_out || !shape_out || !op_out ||
+      !ct_size_out || !other_size_out || !pk_handle)
+    return 3;
+  *pk_handle = nullptr;
+  App* a = app();
+  if (!a) return 7;
+  Op op;
+  Shape shape;
+  int tag;
+  if (!parse_binary_name(name, &op, &shape, &tag)) return 3;
+  try {
+    View pk_v, a_v, b_v;
+    unpack_binary_operation(input, len, &pk_v, &a_v, &b_v);
+    auto pk_entry = parse_pk_cached(a, pk_v.p, pk_v.len);
+    const PublicKey* pk = &pk_entry->pk;
+    Ciphertext ca, cb;
+    Scalar sa, sb;
+    if (shape == CC || shape == CP)
+      ca = load_ciphertext(a_v.p, a_v.len);
+    else
+      sa = scalar_deserialize(tag, a_v.p, a_v.len);
+    if (shape == CC || shape == PC)
+      cb = load_ciphertext(b_v.p, b_v.len);
+    else
+      sb = scalar_deserialize(tag, b_v.p, b_v.len);
+    // app.py _binary_op check order: pk, a, b — all RUNTIME_ERROR(7)
+    check_params(a, pk->params, 7);
+    if (shape == CC || shape == CP) check_params(a, ca.params, 7);
+    if (shape == CC || shape == PC) check_params(a, cb.params, 7);
+
+    const u64 n = a->n;
+    const size_t k = a->k;
+    if (shape == CC) {
+      if (op == OP_MUL) {
+        // _run_op's relin precondition (app.py:150-153) and do_binary's
+        // rk shape guard — both RUNTIME_ERROR(7) on the one-shot path
+        if (!pk->has_relin) return 7;
+        if (pk->rk_params != a->params) return 7;
+      }
+      *ct_size_out = ca.size;
+      *other_size_out = cb.size;
+      if (ca.size == 2)
+        std::memcpy(ct_out, ca.data.data(), 2 * k * n * sizeof(u64));
+      if (cb.size == 2)
+        std::memcpy(other_out, cb.data.data(), 2 * k * n * sizeof(u64));
+    } else {
+      const Ciphertext& c = shape == CP ? ca : cb;
+      const Scalar& s = shape == CP ? sb : sa;
+      if (c.size < 1) return 7;  // engine precondition (do_binary:1613)
+      std::vector<u64> m;
+      try {
+        m = encode_plain(s, n, a->t);  // may throw FheErr{4}
+      } catch (FheErr&) {
+        throw;
+      } catch (...) {
+        return 7;  // app.py _run_op: non-FheError -> RUNTIME_ERROR
+      }
+      *ct_size_out = c.size;
+      *other_size_out = 0;
+      if (c.size == 2)
+        std::memcpy(ct_out, c.data.data(), 2 * k * n * sizeof(u64));
+      std::memcpy(other_out, m.data(), n * sizeof(u64));
+    }
+    *shape_out = (int32_t)shape;
+    *op_out = (int32_t)op;
+    *pk_handle = new PkHandle{std::move(pk_entry)};
+    return 0;
+  } catch (FheErr& e) {
+    return e.code;
+  } catch (...) {
+    return 7;
+  }
+}
+
+static int32_t tpu_pk_id(void* handle, u64* id) {
+  if (!handle || !id) return 3;
+  *id = (u64)(uintptr_t)static_cast<PkHandle*>(handle)->e.get();
+  return 0;
+}
+
+// Copy the relin key block (k_ct, 2, k_key, n) u64 for the device path;
+// errors if the key has none (callers check op==mul first).
+static int32_t tpu_pk_relin(void* handle, u64* out) {
+  if (!handle || !out) return 3;
+  const PublicKey& pk = static_cast<PkHandle*>(handle)->e->pk;
+  if (!pk.has_relin) return 7;
+  std::memcpy(out, pk.rk.data(), pk.rk.size() * sizeof(u64));
+  return 0;
+}
+
+static void tpu_pk_release(void* handle) {
+  delete static_cast<PkHandle*>(handle);
+}
+
+// Encode phase of every op's output: raw (size, k, n) residues -> the
+// bincode/SEAL/zstd ciphertext bytes FheApp emits (save_ciphertext).
+static int32_t tpu_pack_ciphertext(const u64* data, u64 size, u8** out,
+                                   i64* out_len) {
+  if (!data || !out || !out_len || size < 1) return 3;
+  *out = nullptr;
+  *out_len = 0;
+  App* a = app();
+  if (!a) return 7;
+  try {
+    std::vector<u64> v(data, data + (size_t)size * a->k * a->n);
+    std::vector<u8> bytes = save_ciphertext(a->params, size, v);
+    u8* buf = (u8*)std::malloc(bytes.empty() ? 1 : bytes.size());
+    if (!buf) return 7;
+    std::memcpy(buf, bytes.data(), bytes.size());
+    *out = buf;
+    *out_len = (i64)bytes.size();
+    return 0;
+  } catch (FheErr& e) {
+    return e.code;
+  } catch (...) {
+    return 7;
+  }
+}
+
+// Decode phase of do_encrypt: parse calldata, derive the deterministic
+// SHA-512 seed (fhe.rs:600-611) and encode the plaintext; the device then
+// runs the batched seeded encrypt under the network key.
+static int32_t tpu_unpack_encrypt(const char* tname, const u8* input,
+                                  size_t len, u64* m_out, u8* seed_out) {
+  if (!tname || !m_out || !seed_out) return 3;
+  App* a = app();
+  if (!a) return 7;
+  int tag;
+  if (!parse_type(tname, &tag)) return 3;
+  try {
+    View plain_v, pd_v;
+    unpack_two_arguments(input, len, &plain_v, &pd_v);
+    Scalar plain = scalar_deserialize(tag, plain_v.p, plain_v.len);
+    std::vector<u8> plain_ser = scalar_serialize(plain);
+    sha512::Ctx h;
+    h.update(pd_v.p, pd_v.len);
+    h.update(ENCRYPT_PRIVATE_CONSTANT, 64);
+    h.update(plain_ser.data(), plain_ser.size());
+    h.final(seed_out);
+    std::vector<u64> m;
+    try {
+      m = encode_plain(plain, a->n, a->t);
+    } catch (...) {
+      return 6;  // every encrypt-side failure -> FailedEncryption
+    }
+    std::memcpy(m_out, m.data(), a->n * sizeof(u64));
+    return 0;
+  } catch (FheErr& e) {
+    return e.code;
+  } catch (...) {
+    return 7;
+  }
+}
+
+// Decode phase of do_decrypt: parse the bare ciphertext payload + the
+// params check (5).  size != 2 -> caller falls back (golden handles any
+// size; the batched device path is size-2 only).
+static int32_t tpu_unpack_decrypt(const u8* input, size_t len, u64* ct_out,
+                                  u64* ct_size_out) {
+  if (!ct_out || !ct_size_out) return 3;
+  App* a = app();
+  if (!a) return 7;
+  try {
+    Ciphertext ct = load_ciphertext(input, len);
+    check_params(a, ct.params, 5);
+    if (ct.size < 1) return 5;  // engine_decrypt precondition
+    *ct_size_out = ct.size;
+    if (ct.size == 2)
+      std::memcpy(ct_out, ct.data.data(),
+                  2 * a->k * a->n * sizeof(u64));
+    return 0;
+  } catch (FheErr& e) {
+    return e.code;
+  } catch (...) {
+    return 7;
+  }
+}
+
+// Encode phase of do_decrypt's output: mod-t poly -> big-endian scalar
+// bytes; ANY decode failure maps to FailedDecryption(5) (app.py:260-268).
+static int32_t tpu_decode_scalar(const char* tname, const u64* poly,
+                                 u8** out, i64* out_len) {
+  if (!tname || !poly || !out || !out_len) return 3;
+  *out = nullptr;
+  *out_len = 0;
+  App* a = app();
+  if (!a) return 7;
+  int tag;
+  if (!parse_type(tname, &tag)) return 3;
+  try {
+    Scalar value = decode_plain(tag, poly, a->n, a->t);
+    std::vector<u8> bytes = scalar_serialize(value);
+    u8* buf = (u8*)std::malloc(bytes.empty() ? 1 : bytes.size());
+    if (!buf) return 7;
+    std::memcpy(buf, bytes.data(), bytes.size());
+    *out = buf;
+    *out_len = (i64)bytes.size();
+    return 0;
+  } catch (...) {
+    return 5;
+  }
+}
+
+static int32_t tpu_init_keys(const u8* pub, size_t pub_len, const u8* pri,
+                             size_t pri_len) {
+  if (!pub || !pri || !pub_len || !pri_len) return 3;
+  {
+    std::lock_guard<std::mutex> lock(g_staged_mu);
+    if (g_app == nullptr) {
+      g_staged_pub.assign(pub, pub + pub_len);
+      g_staged_pri.assign(pri, pri + pri_len);
+    }
+  }
+  App* a = app();
+  if (!a) return 7;
+  // already initialized (possibly by an earlier caller): succeed only if
+  // the public key bytes agree — one process serves one network key set.
+  if (a->pk_bytes.size() != pub_len ||
+      std::memcmp(a->pk_bytes.data(), pub, pub_len) != 0)
+    return 3;
+  return 0;
+}
+
+static int32_t tpu_params(u64* n, u64* k_ct, u64* k_key, u64* t) {
+  if (!n || !k_ct || !k_key || !t) return 3;
+  App* a = app();
+  if (!a) return 7;
+  *n = a->n;
+  *k_ct = a->k;
+  *k_key = a->kk;
+  *t = a->t;
+  return 0;
+}
+
 }  // namespace fheabi
 
 // ---------------------------------------------------------------------------
@@ -1846,5 +2154,57 @@ const char* fhe_error(int32_t error_code) {
 FHE_PRECOMPILE_LIST(DEFINE_C_PRECOMPILE)
 
 #undef DEFINE_C_PRECOMPILE
+
+// ---- TPU-host batched codec extension (see c_fhe.h; not part of the
+// 51-symbol reference surface) ----------------------------------------------
+
+int32_t fhe_tpu_init_keys(const uint8_t* pub, size_t pub_len,
+                          const uint8_t* pri, size_t pri_len) {
+  return fheabi::tpu_init_keys(pub, pub_len, pri, pri_len);
+}
+
+int32_t fhe_tpu_params(uint64_t* n, uint64_t* k_ct, uint64_t* k_key,
+                       uint64_t* t) {
+  return fheabi::tpu_params(n, k_ct, k_key, t);
+}
+
+int32_t fhe_tpu_unpack_binary(const char* name, const uint8_t* data,
+                              size_t data_len, uint64_t* ct, uint64_t* other,
+                              int32_t* shape, int32_t* op, uint64_t* ct_size,
+                              uint64_t* other_size, void** pk_handle) {
+  return fheabi::tpu_unpack_binary(name, data, data_len, ct, other, shape,
+                                   op, ct_size, other_size, pk_handle);
+}
+
+int32_t fhe_tpu_pk_id(void* pk_handle, uint64_t* id) {
+  return fheabi::tpu_pk_id(pk_handle, id);
+}
+
+int32_t fhe_tpu_pk_relin(void* pk_handle, uint64_t* rk_out) {
+  return fheabi::tpu_pk_relin(pk_handle, rk_out);
+}
+
+void fhe_tpu_pk_release(void* pk_handle) { fheabi::tpu_pk_release(pk_handle); }
+
+int32_t fhe_tpu_pack_ciphertext(const uint64_t* data, uint64_t size,
+                                uint8_t** out, int64_t* out_len) {
+  return fheabi::tpu_pack_ciphertext(data, size, out, out_len);
+}
+
+int32_t fhe_tpu_unpack_encrypt(const char* tname, const uint8_t* data,
+                               size_t data_len, uint64_t* m,
+                               uint8_t* seed64) {
+  return fheabi::tpu_unpack_encrypt(tname, data, data_len, m, seed64);
+}
+
+int32_t fhe_tpu_unpack_decrypt(const uint8_t* data, size_t data_len,
+                               uint64_t* ct, uint64_t* ct_size) {
+  return fheabi::tpu_unpack_decrypt(data, data_len, ct, ct_size);
+}
+
+int32_t fhe_tpu_decode_scalar(const char* tname, const uint64_t* poly,
+                              uint8_t** out, int64_t* out_len) {
+  return fheabi::tpu_decode_scalar(tname, poly, out, out_len);
+}
 
 }  // extern "C"

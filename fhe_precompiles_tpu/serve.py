@@ -15,13 +15,20 @@ both the jax and golden engines), so a node can front a TPU with this
 server while CPU validators replay the same stream call-by-call and stay
 in consensus.
 
-Scope: the 12 cipher∘cipher binary ops are batched (they carry all the
-FHE compute — mul+relin dominates); cipher∘plain, plain∘cipher and the
-threshold API fall back to per-request ``FheApp.call`` on the same jax
-engine.  Requests are grouped by (op kind, public key): the pk parse
-cache (app._CachedPkCodec) returns one object per distinct key bytes, so
-grouping is by object identity, and each group shares one device-resident
-relin key.
+Two host codecs:
+
+* ``codec="python"`` — the pack/keyio/zstd stack in Python; batches the
+  12 cipher∘cipher ops, everything else falls back to per-request
+  ``FheApp.call``.
+* ``codec="native"`` — the C++ codec in libc_fhe_native.so (fhe_tpu_*
+  extension, native/codec.py): decode/encode run GIL-free in C++ worker
+  threads, and the batched surface widens to all 36 binary ops (cp/pc
+  plain ops batch on device too) plus threshold encrypt_* / decrypt_*.
+  Only reencrypt_* and odd-sized ciphertexts fall back.
+
+Requests are grouped by (op kind, public key): the pk parse caches (both
+stacks) return one identity per distinct key bytes, and each group shares
+one device-resident relin key.
 """
 from __future__ import annotations
 
@@ -36,6 +43,23 @@ from .app import _CT_CODEC, _PK_CODEC, FheApp, PRECOMPILE_NAMES
 from .bfv.golden import Ciphertext
 from .errors import FheError, FheErrorCode
 from .params import Params
+
+
+class _PkView:
+    """Duck-typed PublicKey carrying only relin data (RequestStream's
+    contract: pk.relin is None or pk.relin.data is the (k_ct,2,k_key,n)
+    array)."""
+
+    class _Relin:
+        __slots__ = ("data",)
+
+        def __init__(self, data):
+            self.data = data
+
+    __slots__ = ("relin",)
+
+    def __init__(self, rk_data=None):
+        self.relin = None if rk_data is None else _PkView._Relin(rk_data)
 
 #: name -> (op, shape, tname) for the 36 binary precompiles
 #: (same generation rule as app._install_ops, fhe.rs:161-576).
@@ -52,7 +76,8 @@ class ByteServer:
     """Serve byte-level precompile requests batched on a TPU (or CPU) host."""
 
     def __init__(self, params: Params, mesh=None, workers: Optional[int] = None,
-                 max_batch: int = 128, app: Optional[FheApp] = None):
+                 max_batch: int = 128, app: Optional[FheApp] = None,
+                 codec: str = "python"):
         from .ops.engine import JaxEngine  # deferred: heavy import
         from .parallel.stream import RequestStream
 
@@ -64,6 +89,14 @@ class ByteServer:
         self.stream = RequestStream(self.app._engine, mesh=mesh,
                                     max_batch=max_batch)
         self.workers = workers or min(32, os.cpu_count() or 1)
+        self.max_batch = max_batch
+        if codec == "native":
+            from .native.codec import NativeCodec
+            self.codec: Optional[NativeCodec] = NativeCodec(self.app)
+        elif codec == "python":
+            self.codec = None
+        else:
+            raise ValueError(f"unknown codec {codec!r}")
 
     # ------------------------------------------------------------------
     def _decode_cc(self, name: str, data: bytes):
@@ -87,6 +120,170 @@ class ByteServer:
             ) -> List[Tuple[int, bytes]]:
         """Execute a mixed byte-request stream; returns per-request
         (error_code, payload) in input order, byte-equal to FheApp.call."""
+        if self.codec is not None:
+            return self._run_native(requests)
+        return self._run_python(requests)
+
+    # ------------------------------------------------------------------
+    def _run_native(self, requests: Sequence[Tuple[str, bytes]]
+                    ) -> List[Tuple[int, bytes]]:
+        """Native-codec path: C++ decode/encode in worker threads (GIL-free),
+        device compute batched per op family.  Batches all 36 binary ops
+        (cp/pc plain polys are encoded by the C++ codec) plus threshold
+        encrypt_*/decrypt_*; reencrypt_* and odd-size ciphertexts fall back
+        to the per-request path (same bytes either way)."""
+        from .parallel.stream import Request
+
+        cod = self.codec
+        app = self.app
+        eng = app._engine
+        n_req = len(requests)
+        results: List[Optional[Tuple[int, bytes]]] = [None] * n_req
+        cc_groups: dict[int, list] = {}     # pk_id -> [(i, op, a, b)]
+        pk_by_id: dict[int, object] = {}    # pk_id -> PkRef (kept alive)
+        plain_jobs: dict[str, list] = {}    # engine fn -> [(i, ct, m)]
+        enc_jobs: list = []                 # (i, m, seed)
+        dec_jobs: list = []                 # (i, tname, ct)
+        fallback: list[int] = []
+        extra_refs: list = []               # PkRefs to release at the end
+
+        def decode(i: int):
+            name, data = requests[i]
+            if name not in PRECOMPILE_NAMES:
+                return i, "err", int(FheErrorCode.INVALID_ENCODING)
+            if name == "public_key_bytes":
+                return i, "done", (0, app.public_key_bytes())
+            head, _, rest = name.partition("_")
+            if head == "encrypt":
+                code, m, seed = cod.unpack_encrypt(rest, data)
+                return (i, "err", code) if code else (i, "enc", (m, seed))
+            if head == "decrypt":
+                code, ct, size = cod.unpack_decrypt(data)
+                if code:
+                    return i, "err", code
+                if size != 2:
+                    return i, "fallback", None
+                return i, "dec", (rest, ct)
+            if head == "reencrypt":
+                return i, "fallback", None
+            code, shape, op, ct, other, ct_size, other_size, pk = \
+                cod.unpack_binary(name, data)
+            if code:
+                return i, "err", code
+            if shape == "cc":
+                if ct_size != 2 or other_size != 2:
+                    return i, "fallback_pk", pk
+                return i, "cc", (op, pk, ct, other)
+            # cp/pc plain ops never touch the pk
+            if ct_size != 2:
+                return i, "fallback_pk", pk
+            if op == "add":
+                fn = "add_plain"
+            elif op == "mul":
+                fn = "mul_plain"
+            else:
+                fn = "sub_plain" if shape == "cp" else "plain_sub"
+            return i, "plain_pk", (fn, ct, other, pk)
+
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            for i, kind, payload in pool.map(decode, range(n_req)):
+                if kind == "err":
+                    results[i] = (payload, b"")
+                elif kind == "done":
+                    results[i] = payload
+                elif kind == "fallback":
+                    fallback.append(i)
+                elif kind == "fallback_pk":
+                    fallback.append(i)
+                    extra_refs.append(payload)
+                elif kind == "enc":
+                    enc_jobs.append((i,) + payload)
+                elif kind == "dec":
+                    dec_jobs.append((i,) + payload)
+                elif kind == "plain_pk":
+                    fn, ct, other, pk = payload
+                    plain_jobs.setdefault(fn, []).append((i, ct, other))
+                    extra_refs.append(pk)
+                else:  # cc
+                    op, pk, a, b = payload
+                    cc_groups.setdefault(pk.id, []).append((i, op, a, b))
+                    pk_by_id.setdefault(pk.id, pk)
+                    if pk_by_id[pk.id] is not pk:
+                        extra_refs.append(pk)
+
+            # ---- device phase --------------------------------------------
+            encode_jobs: list[Tuple[int, np.ndarray]] = []
+
+            # cipher∘cipher: one RequestStream.run per distinct public key
+            for key, items in cc_groups.items():
+                pk = pk_by_id[key]
+                need_relin = any(op == "mul" for _, op, _, _ in items)
+                view = _PkView(pk.relin(cod.k, cod.kk, cod.n)
+                               if need_relin else None)
+                reqs = [Request(op, a, b) for _, op, a, b in items]
+                outs = self.stream.run(reqs, view)
+                for (i, _op, _a, _b), out in zip(items, outs):
+                    encode_jobs.append((i, out))
+
+            # cipher∘plain / plain∘cipher: batched device plain ops
+            for fn, items in plain_jobs.items():
+                dev_fn = getattr(eng, "_" + fn)
+                for c0 in range(0, len(items), self.max_batch):
+                    chunk = items[c0:c0 + self.max_batch]
+                    cts = np.stack([c for _, c, _ in chunk])
+                    ms = np.stack([m for _, _, m in chunk])
+                    if fn == "plain_sub":
+                        host = np.asarray(dev_fn(ms, cts))
+                    else:
+                        host = np.asarray(dev_fn(cts, ms))
+                    for slot, (i, _c, _m) in enumerate(chunk):
+                        encode_jobs.append((i, host[slot]))
+
+            # threshold encrypt: batched seeded encrypt under the network key
+            for c0 in range(0, len(enc_jobs), self.max_batch):
+                chunk = enc_jobs[c0:c0 + self.max_batch]
+                plains = np.stack([m for _, m, _ in chunk])
+                seeds = [s for _, _, s in chunk]
+                host = np.asarray(eng.encrypt_batch(plains, app.public_key,
+                                                    seeds))
+                for slot, (i, _m, _s) in enumerate(chunk):
+                    encode_jobs.append((i, host[slot]))
+
+            # threshold decrypt: batched device decrypt, C++ scalar decode
+            dec_polys: list[Tuple[int, str, np.ndarray]] = []
+            for c0 in range(0, len(dec_jobs), self.max_batch):
+                chunk = dec_jobs[c0:c0 + self.max_batch]
+                cts = np.stack([c for _, _, c in chunk])
+                host = np.asarray(eng.decrypt_batch(cts, app.private_key))
+                for slot, (i, tname, _c) in enumerate(chunk):
+                    dec_polys.append((i, tname, host[slot]))
+
+            # ---- host encode phase (C++ zstd/bincode, GIL-free) ----------
+            def encode(job):
+                i, data = job
+                return i, (0, cod.pack_ciphertext(data))
+
+            def decode_scalar(job):
+                i, tname, poly = job
+                return i, cod.decode_scalar(tname, poly)
+
+            for i, payload in pool.map(encode, encode_jobs):
+                results[i] = payload
+            for i, payload in pool.map(decode_scalar, dec_polys):
+                results[i] = payload
+
+        for pk in list(pk_by_id.values()) + extra_refs:
+            pk.release()
+
+        # remaining surface: identical per-request path
+        for i in fallback:
+            name, data = requests[i]
+            results[i] = app.call(name, data)
+        return results  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------
+    def _run_python(self, requests: Sequence[Tuple[str, bytes]]
+                    ) -> List[Tuple[int, bytes]]:
         from .parallel.stream import Request
 
         n_req = len(requests)

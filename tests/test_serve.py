@@ -20,10 +20,10 @@ from fhe_precompiles_tpu.testnet import one
 FHE = one.FHE
 
 
-@pytest.fixture(scope="module")
-def setup():
+@pytest.fixture(scope="module", params=["python", "native"])
+def setup(request):
     app = FheApp(FHE.params, engine="jax")
-    server = ByteServer(FHE.params, app=app)
+    server = ByteServer(FHE.params, app=app, codec=request.param)
     pk1, sk1 = FHE.generate_keys()
     pk2, sk2 = FHE.generate_keys()
     return app, server, (pk1, sk1), (pk2, sk2)
@@ -122,4 +122,69 @@ def test_byte_server_preserves_input_order(setup):
                                                        b2, _CT_CODEC)))
     got = server.run(interleaved)
     for (name, data), res in zip(interleaved, got):
+        assert res == app.call(name, data), name
+
+
+def test_native_codec_large_mixed_stream():
+    """Native-codec batching under load: a randomized 120-request stream
+    crossing all four scalar types, cc/cp/pc shapes, threshold encrypt/
+    decrypt (batched on device), reencrypt (fallback), two user keys and
+    error shapes — every (code, payload) byte-equal to FheApp.call."""
+    import random
+    app = FheApp(FHE.params, engine="jax")
+    server = ByteServer(FHE.params, app=app, codec="native")
+    pk1, _ = FHE.generate_keys()
+    pk2, _ = FHE.generate_keys()
+    rng = random.Random(42)
+    vals = {"u64": lambda: rng.randrange(1, 1 << 12),
+            "i64": lambda: rng.randrange(-(1 << 12), 1 << 12),
+            "u256": lambda: rng.randrange(1, 1 << 12),
+            "frac64": lambda: rng.randrange(1, 1 << 10) / 8.0}
+    reqs = []
+    for j in range(120):
+        tname = rng.choice(["u64", "i64", "u256", "frac64"])
+        kind = rng.randrange(8)
+        pk = pk1 if rng.random() < 0.5 else pk2
+        sc = {"u64": pack.U64, "i64": pack.I64, "u256": pack.U256,
+              "frac64": pack.FRAC64}[tname]
+        if kind <= 2:  # cc op
+            op = ("add", "sub", "mul")[kind]
+            a = _ct(vals[tname](), tname, pk, b"L%da" % j)
+            b = _ct(vals[tname](), tname, pk, b"L%db" % j)
+            reqs.append((f"{op}_cipher{tname}_cipher{tname}",
+                         pack.pack_binary_operation(pk, a, _CT_CODEC,
+                                                    b, _CT_CODEC)))
+        elif kind == 3:  # cp
+            op = rng.choice(["add", "sub", "mul"])
+            a = _ct(vals[tname](), tname, pk, b"L%dc" % j)
+            reqs.append((f"{op}_cipher{tname}_{tname}",
+                         pack.pack_binary_operation(pk, a, _CT_CODEC,
+                                                    vals[tname](), sc)))
+        elif kind == 4:  # pc
+            op = rng.choice(["add", "sub", "mul"])
+            b = _ct(vals[tname](), tname, pk, b"L%dd" % j)
+            reqs.append((f"{op}_{tname}_cipher{tname}",
+                         pack.pack_binary_operation(pk, vals[tname](), sc,
+                                                    b, _CT_CODEC)))
+        elif kind == 5:  # threshold encrypt
+            reqs.append((f"encrypt_{tname}",
+                         pack.pack_two_arguments(vals[tname](), sc,
+                                                 b"pd%d" % j, pack.BYTES)))
+        elif kind == 6:  # threshold decrypt (cross-type decode half the time)
+            enc_t = rng.choice(["u64", tname])
+            ct = _ct(vals[enc_t](), enc_t, FHE.public_key, b"L%de" % j)
+            reqs.append((f"decrypt_{tname}",
+                         pack.pack_one_argument(ct, _CT_CODEC)))
+        else:  # reencrypt (fallback) or garbage
+            if rng.random() < 0.5:
+                ct = _ct(vals[tname](), tname, FHE.public_key, b"L%df" % j)
+                reqs.append((f"reencrypt_{tname}",
+                             pack.pack_binary_operation(pk, ct, _CT_CODEC,
+                                                        b"rd", pack.BYTES)))
+            else:
+                reqs.append((f"add_cipher{tname}_cipher{tname}",
+                             bytes([rng.randrange(256)
+                                    for _ in range(rng.randrange(40))])))
+    got = server.run(reqs)
+    for (name, data), res in zip(reqs, got):
         assert res == app.call(name, data), name
