@@ -220,35 +220,20 @@ def main():
     log(f"host-roundtrip stream: {len(reqs)/dt:.0f} ops/s "
         "(dev-tunnel transfer bound)")
 
-    # ---- byte-level batched serving (serve.ByteServer) -----------------
-    # End-to-end at the reference's own surface: calldata bytes in ->
-    # result bytes out, incl. zstd/bincode codec both ways.  Codec runs on
-    # host threads, compute batched on device; host-core count matters.
-    from fhe_precompiles_tpu import pack
-    from fhe_precompiles_tpu.app import _CT_CODEC, FheApp
-    from fhe_precompiles_tpu.serve import ByteServer
-    from fhe_precompiles_tpu.testnet import one as _one
+    # ---- byte-level batched serving, decomposed (serve_bench.py) -------
+    # The reference's own surface: calldata bytes in -> result bytes out.
+    # Decomposed into codec-only (C++ host threads), device compute, the
+    # end-to-end rate HERE (dev-tunnel transfer bound: environment
+    # artifact) and the co-located projection min(codec, device).
+    from fhe_precompiles_tpu.app import FheApp
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import serve_bench
     napp_jax = FheApp(TESTNET_ONE, engine="jax")
     napp_jax._engine = eng                      # reuse the warmed engine
-    server = ByteServer(TESTNET_ONE, app=napp_jax)
-    net_pk = _one.FHE.public_key
-    ct_pairs = [(ctx.encrypt(encode_unsigned(i + 1, TESTNET_ONE, 64),
-                             net_pk, bytes([i]) * 64),
-                 ctx.encrypt(encode_unsigned(i + 2, TESTNET_ONE, 64),
-                             net_pk, bytes([i + 64]) * 64))
-                for i in range(8)]
-    NSRV = 64 if quick else 256
-    srv_reqs = [("mul_cipheru64_cipheru64",
-                 pack.pack_binary_operation(net_pk, ct_pairs[i % 8][0],
-                                            _CT_CODEC, ct_pairs[i % 8][1],
-                                            _CT_CODEC))
-                for i in range(NSRV)]
-    server.run(srv_reqs[:8])                    # warm compile + pk cache
-    t0 = time.time()
-    out_srv = server.run(srv_reqs)
-    dt = time.time() - t0
-    assert all(c == 0 for c, _ in out_srv)
-    emit("byte_server_mul_ops_per_sec", NSRV / dt, "ops/s/host")
+    mr_rate_now = next(r["value"] for r in results
+                       if r["metric"] == "bfv_mul_relin_n4096_ops_per_sec")
+    serve_bench.run(emit, quick=quick, device_rate=mr_rate_now,
+                    app=napp_jax, log=log)
 
     # ---- roofline / MFU accounting (VERDICT round-1 #4) ---------------
     mr_rate = next(r["value"] for r in results
@@ -378,6 +363,21 @@ def main():
             " (JaxEngine._prepare / _mul_relin_prepared) instead of once"
             " per request -- worth ~+55% on the mixed stream; outputs"
             " bit-identical.\n"
+            "\n## Serving: byte-surface decomposition\n\n"
+            "The byte_server_* / byte_codec_* rows decompose the product"
+            " surface (calldata in -> calldata out, c_fhe.rs:8-59):"
+            " codec-only rows are the C++ host codec"
+            " (libc_fhe_native.so fhe_tpu_* entry points) in worker"
+            " threads with NO device work; byte_server_*_mul rows are the"
+            " full pipeline measured HERE and are bound by the ~20 MB/s"
+            " dev-tunnel transfer (~525 KB/request round trip) -- an"
+            " environment artifact, labeled as such; the colocated"
+            " projection row is min(codec, device) under the server's"
+            " decode-ahead window overlap, i.e. what a host wired to its"
+            " chip by PCIe/ICI would sustain (PCIe gen4 transfer adds <2%"
+            " at these sizes).  On this 4-core host the projection is"
+            " host-codec-bound; production hosts with more cores move it"
+            " toward the device rate.\n"
             "\n## Methodology notes\n\n"
             "* The headline mul+relin metric uses DISTINCT operands"
             " (mul_relin(c, roll(c,1))): a squaring chain lets XLA CSE the"

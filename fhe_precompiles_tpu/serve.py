@@ -90,6 +90,10 @@ class ByteServer:
                                     max_batch=max_batch)
         self.workers = workers or min(32, os.cpu_count() or 1)
         self.max_batch = max_batch
+        #: requests per pipeline window (native codec): one window decodes
+        #: ahead while the previous computes/serializes.  Two device batches
+        #: per window keeps batches full without delaying overlap.
+        self.pipeline_window = 2 * max_batch
         if codec == "native":
             from .native.codec import NativeCodec
             self.codec: Optional[NativeCodec] = NativeCodec(self.app)
@@ -125,13 +129,59 @@ class ByteServer:
         return self._run_python(requests)
 
     # ------------------------------------------------------------------
+    def _decode_native(self, name: str, data: bytes):
+        """One request through the C++ codec: (kind, payload) routing."""
+        cod = self.codec
+        if name not in PRECOMPILE_NAMES:
+            return "err", int(FheErrorCode.INVALID_ENCODING)
+        if name == "public_key_bytes":
+            return "done", (0, self.app.public_key_bytes())
+        head, _, rest = name.partition("_")
+        if head == "encrypt":
+            code, m, seed = cod.unpack_encrypt(rest, data)
+            return ("err", code) if code else ("enc", (m, seed))
+        if head == "decrypt":
+            code, ct, size = cod.unpack_decrypt(data)
+            if code:
+                return "err", code
+            if size != 2:
+                return "fallback", None
+            return "dec", (rest, ct)
+        if head == "reencrypt":
+            return "fallback", None
+        code, shape, op, ct, other, ct_size, other_size, pk = \
+            cod.unpack_binary(name, data)
+        if code:
+            return "err", code
+        if shape == "cc":
+            if ct_size != 2 or other_size != 2:
+                return "fallback_pk", pk
+            return "cc", (op, pk, ct, other)
+        # cp/pc plain ops never touch the pk
+        if ct_size != 2:
+            return "fallback_pk", pk
+        if op == "add":
+            fn = "add_plain"
+        elif op == "mul":
+            fn = "mul_plain"
+        else:
+            fn = "sub_plain" if shape == "cp" else "plain_sub"
+        return "plain_pk", (fn, ct, other, pk)
+
     def _run_native(self, requests: Sequence[Tuple[str, bytes]]
                     ) -> List[Tuple[int, bytes]]:
-        """Native-codec path: C++ decode/encode in worker threads (GIL-free),
-        device compute batched per op family.  Batches all 36 binary ops
-        (cp/pc plain polys are encoded by the C++ codec) plus threshold
-        encrypt_*/decrypt_*; reencrypt_* and odd-size ciphertexts fall back
-        to the per-request path (same bytes either way)."""
+        """Native-codec path: C++ decode/encode in worker threads (GIL-free,
+        ctypes releases it per call), device compute batched per op family.
+        Batches all 36 binary ops (cp/pc plaintext polys encoded by the C++
+        codec) plus threshold encrypt_*/decrypt_*; reencrypt_* and odd-size
+        ciphertexts fall back to the per-request path (same bytes either
+        way).
+
+        The stream is processed in windows of ``pipeline_window`` requests
+        with one-window decode-ahead: while window w computes on device and
+        its outputs serialize, window w+1's calldata is already decoding in
+        the C++ worker threads — host codec and device compute overlap
+        instead of running in distinct phases."""
         from .parallel.stream import Request
 
         cod = self.codec
@@ -139,141 +189,117 @@ class ByteServer:
         eng = app._engine
         n_req = len(requests)
         results: List[Optional[Tuple[int, bytes]]] = [None] * n_req
-        cc_groups: dict[int, list] = {}     # pk_id -> [(i, op, a, b)]
-        pk_by_id: dict[int, object] = {}    # pk_id -> PkRef (kept alive)
-        plain_jobs: dict[str, list] = {}    # engine fn -> [(i, ct, m)]
-        enc_jobs: list = []                 # (i, m, seed)
-        dec_jobs: list = []                 # (i, tname, ct)
         fallback: list[int] = []
-        extra_refs: list = []               # PkRefs to release at the end
+
+        W = self.pipeline_window
+        windows = [list(range(w0, min(w0 + W, n_req)))
+                   for w0 in range(0, n_req, W)]
 
         def decode(i: int):
             name, data = requests[i]
-            if name not in PRECOMPILE_NAMES:
-                return i, "err", int(FheErrorCode.INVALID_ENCODING)
-            if name == "public_key_bytes":
-                return i, "done", (0, app.public_key_bytes())
-            head, _, rest = name.partition("_")
-            if head == "encrypt":
-                code, m, seed = cod.unpack_encrypt(rest, data)
-                return (i, "err", code) if code else (i, "enc", (m, seed))
-            if head == "decrypt":
-                code, ct, size = cod.unpack_decrypt(data)
-                if code:
-                    return i, "err", code
-                if size != 2:
-                    return i, "fallback", None
-                return i, "dec", (rest, ct)
-            if head == "reencrypt":
-                return i, "fallback", None
-            code, shape, op, ct, other, ct_size, other_size, pk = \
-                cod.unpack_binary(name, data)
-            if code:
-                return i, "err", code
-            if shape == "cc":
-                if ct_size != 2 or other_size != 2:
-                    return i, "fallback_pk", pk
-                return i, "cc", (op, pk, ct, other)
-            # cp/pc plain ops never touch the pk
-            if ct_size != 2:
-                return i, "fallback_pk", pk
-            if op == "add":
-                fn = "add_plain"
-            elif op == "mul":
-                fn = "mul_plain"
-            else:
-                fn = "sub_plain" if shape == "cp" else "plain_sub"
-            return i, "plain_pk", (fn, ct, other, pk)
+            kind, payload = self._decode_native(name, data)
+            return i, kind, payload
+
+        def encode(job):
+            i, data = job
+            return i, (0, cod.pack_ciphertext(data))
+
+        def decode_scalar(job):
+            i, tname, poly = job
+            return i, cod.decode_scalar(tname, poly)
 
         with ThreadPoolExecutor(max_workers=self.workers) as pool:
-            for i, kind, payload in pool.map(decode, range(n_req)):
-                if kind == "err":
-                    results[i] = (payload, b"")
-                elif kind == "done":
-                    results[i] = payload
-                elif kind == "fallback":
-                    fallback.append(i)
-                elif kind == "fallback_pk":
-                    fallback.append(i)
-                    extra_refs.append(payload)
-                elif kind == "enc":
-                    enc_jobs.append((i,) + payload)
-                elif kind == "dec":
-                    dec_jobs.append((i,) + payload)
-                elif kind == "plain_pk":
-                    fn, ct, other, pk = payload
-                    plain_jobs.setdefault(fn, []).append((i, ct, other))
-                    extra_refs.append(pk)
-                else:  # cc
-                    op, pk, a, b = payload
-                    cc_groups.setdefault(pk.id, []).append((i, op, a, b))
-                    pk_by_id.setdefault(pk.id, pk)
-                    if pk_by_id[pk.id] is not pk:
-                        extra_refs.append(pk)
+            futs = [pool.submit(decode, i) for i in windows[0]]
+            for w in range(len(windows)):
+                decoded = [f.result() for f in futs]
+                if w + 1 < len(windows):  # decode-ahead: overlaps all below
+                    futs = [pool.submit(decode, i) for i in windows[w + 1]]
 
-            # ---- device phase --------------------------------------------
-            encode_jobs: list[Tuple[int, np.ndarray]] = []
+                cc_groups: dict[int, list] = {}
+                pk_by_id: dict[int, object] = {}
+                plain_jobs: dict[str, list] = {}
+                enc_jobs: list = []
+                dec_jobs: list = []
+                refs: list = []
+                for i, kind, payload in decoded:
+                    if kind == "err":
+                        results[i] = (payload, b"")
+                    elif kind == "done":
+                        results[i] = payload
+                    elif kind == "fallback":
+                        fallback.append(i)
+                    elif kind == "fallback_pk":
+                        fallback.append(i)
+                        refs.append(payload)
+                    elif kind == "enc":
+                        enc_jobs.append((i,) + payload)
+                    elif kind == "dec":
+                        dec_jobs.append((i,) + payload)
+                    elif kind == "plain_pk":
+                        fn, ct, other, pk = payload
+                        plain_jobs.setdefault(fn, []).append((i, ct, other))
+                        refs.append(pk)
+                    else:  # cc
+                        op, pk, a, b = payload
+                        cc_groups.setdefault(pk.id, []).append((i, op, a, b))
+                        if pk_by_id.setdefault(pk.id, pk) is not pk:
+                            refs.append(pk)
 
-            # cipher∘cipher: one RequestStream.run per distinct public key
-            for key, items in cc_groups.items():
-                pk = pk_by_id[key]
-                need_relin = any(op == "mul" for _, op, _, _ in items)
-                view = _PkView(pk.relin(cod.k, cod.kk, cod.n)
-                               if need_relin else None)
-                reqs = [Request(op, a, b) for _, op, a, b in items]
-                outs = self.stream.run(reqs, view)
-                for (i, _op, _a, _b), out in zip(items, outs):
-                    encode_jobs.append((i, out))
+                # ---- device phase (this window) --------------------------
+                encode_jobs: list[Tuple[int, np.ndarray]] = []
 
-            # cipher∘plain / plain∘cipher: batched device plain ops
-            for fn, items in plain_jobs.items():
-                dev_fn = getattr(eng, "_" + fn)
-                for c0 in range(0, len(items), self.max_batch):
-                    chunk = items[c0:c0 + self.max_batch]
-                    cts = np.stack([c for _, c, _ in chunk])
-                    ms = np.stack([m for _, _, m in chunk])
-                    if fn == "plain_sub":
-                        host = np.asarray(dev_fn(ms, cts))
-                    else:
-                        host = np.asarray(dev_fn(cts, ms))
-                    for slot, (i, _c, _m) in enumerate(chunk):
+                # cipher∘cipher: one RequestStream.run per distinct pk
+                for key, items in cc_groups.items():
+                    pk = pk_by_id[key]
+                    need_relin = any(op == "mul" for _, op, _, _ in items)
+                    view = _PkView(pk.relin(cod.k, cod.kk, cod.n)
+                                   if need_relin else None)
+                    reqs = [Request(op, a, b) for _, op, a, b in items]
+                    outs = self.stream.run(reqs, view)
+                    for (i, _op, _a, _b), out in zip(items, outs):
+                        encode_jobs.append((i, out))
+
+                # cipher∘plain / plain∘cipher: batched device plain ops
+                for fn, items in plain_jobs.items():
+                    dev_fn = getattr(eng, "_" + fn)
+                    for c0 in range(0, len(items), self.max_batch):
+                        chunk = items[c0:c0 + self.max_batch]
+                        cts = np.stack([c for _, c, _ in chunk])
+                        ms = np.stack([m for _, _, m in chunk])
+                        if fn == "plain_sub":
+                            host = np.asarray(dev_fn(ms, cts))
+                        else:
+                            host = np.asarray(dev_fn(cts, ms))
+                        for slot, (i, _c, _m) in enumerate(chunk):
+                            encode_jobs.append((i, host[slot]))
+
+                # threshold encrypt: batched seeded encrypt, network key
+                for c0 in range(0, len(enc_jobs), self.max_batch):
+                    chunk = enc_jobs[c0:c0 + self.max_batch]
+                    plains = np.stack([m for _, m, _ in chunk])
+                    seeds = [s for _, _, s in chunk]
+                    host = np.asarray(eng.encrypt_batch(
+                        plains, app.public_key, seeds))
+                    for slot, (i, _m, _s) in enumerate(chunk):
                         encode_jobs.append((i, host[slot]))
 
-            # threshold encrypt: batched seeded encrypt under the network key
-            for c0 in range(0, len(enc_jobs), self.max_batch):
-                chunk = enc_jobs[c0:c0 + self.max_batch]
-                plains = np.stack([m for _, m, _ in chunk])
-                seeds = [s for _, _, s in chunk]
-                host = np.asarray(eng.encrypt_batch(plains, app.public_key,
-                                                    seeds))
-                for slot, (i, _m, _s) in enumerate(chunk):
-                    encode_jobs.append((i, host[slot]))
+                # threshold decrypt: device decrypt, C++ scalar decode
+                dec_polys: list[Tuple[int, str, np.ndarray]] = []
+                for c0 in range(0, len(dec_jobs), self.max_batch):
+                    chunk = dec_jobs[c0:c0 + self.max_batch]
+                    cts = np.stack([c for _, _, c in chunk])
+                    host = np.asarray(eng.decrypt_batch(cts,
+                                                        app.private_key))
+                    for slot, (i, tname, _c) in enumerate(chunk):
+                        dec_polys.append((i, tname, host[slot]))
 
-            # threshold decrypt: batched device decrypt, C++ scalar decode
-            dec_polys: list[Tuple[int, str, np.ndarray]] = []
-            for c0 in range(0, len(dec_jobs), self.max_batch):
-                chunk = dec_jobs[c0:c0 + self.max_batch]
-                cts = np.stack([c for _, _, c in chunk])
-                host = np.asarray(eng.decrypt_batch(cts, app.private_key))
-                for slot, (i, tname, _c) in enumerate(chunk):
-                    dec_polys.append((i, tname, host[slot]))
-
-            # ---- host encode phase (C++ zstd/bincode, GIL-free) ----------
-            def encode(job):
-                i, data = job
-                return i, (0, cod.pack_ciphertext(data))
-
-            def decode_scalar(job):
-                i, tname, poly = job
-                return i, cod.decode_scalar(tname, poly)
-
-            for i, payload in pool.map(encode, encode_jobs):
-                results[i] = payload
-            for i, payload in pool.map(decode_scalar, dec_polys):
-                results[i] = payload
-
-        for pk in list(pk_by_id.values()) + extra_refs:
-            pk.release()
+                # ---- host encode (C++ zstd/bincode, GIL-free) ------------
+                for i, payload in pool.map(encode, encode_jobs):
+                    results[i] = payload
+                for i, payload in pool.map(decode_scalar, dec_polys):
+                    results[i] = payload
+                for pk in list(pk_by_id.values()) + refs:
+                    pk.release()
 
         # remaining surface: identical per-request path
         for i in fallback:
