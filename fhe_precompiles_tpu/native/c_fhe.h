@@ -30,6 +30,12 @@
  * file paths to serve a different parameter set -- the params are inferred
  * and validated from the key blobs themselves.  libc_fhe.so instead honors
  * FHE_TPU_ENGINE=golden|jax|native for its embedded-Python compute path.
+ *
+ * Static linking: `make libc_fhe_native.a` (+ `make install` for headers,
+ * both library shapes and pkg-config metadata).  A statically-linked
+ * binary cannot locate the package data dir via dladdr the way the .so
+ * does, so set FHE_TPU_NATIVE_DATA=<dir containing network.pub/pri> (or
+ * use FHE_TPU_NETWORK_PUB/PRI).
  */
 #ifndef FHE_PRECOMPILES_TPU_C_FHE_H
 #define FHE_PRECOMPILES_TPU_C_FHE_H

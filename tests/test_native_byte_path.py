@@ -618,3 +618,24 @@ def test_standalone_c_host_pure_native(native):
     res = subprocess.run([exe], capture_output=True, text=True, timeout=300)
     assert res.returncode == 0, res.stderr
     assert "HOST TEST PASSED" in res.stdout
+
+
+def test_static_library_host(native):
+    """Staticlib parity (reference Cargo.toml crate-type): build
+    libc_fhe_native.a and a statically-linked host test; no .so, no
+    Python in the link.  Static binaries can't locate the package data
+    dir via dladdr, so the operator supplies FHE_TPU_NATIVE_DATA."""
+    import os
+    d = os.path.dirname(os.path.abspath(__import__(
+        "fhe_precompiles_tpu.native", fromlist=["x"]).__file__))
+    subprocess.run(["make", "-C", d, "libc_fhe_native.a",
+                    "host_test_static"], check=True, capture_output=True)
+    exe = os.path.join(d, "host_test_static")
+    ldd = subprocess.run(["ldd", exe], capture_output=True, text=True)
+    assert "libc_fhe" not in ldd.stdout and "python" not in ldd.stdout.lower()
+    env = dict(os.environ)
+    env["FHE_TPU_NATIVE_DATA"] = os.path.join(os.path.dirname(d), "data")
+    res = subprocess.run([exe], capture_output=True, text=True, env=env,
+                         timeout=300)
+    assert res.returncode == 0, res.stderr
+    assert "HOST TEST PASSED" in res.stdout
