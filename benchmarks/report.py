@@ -332,7 +332,10 @@ def main():
          "ops/s/host-core")
 
     # ---- distributed rows (subprocesses on the virtual CPU mesh) ------
-    if "--with-scaling" in sys.argv:
+    # dp1/2/4/8 + the 2-process Gloo run; on by default so the cpu_mesh_*
+    # rows the methodology notes describe are actually in the table
+    # (opt out with --no-scaling on hosts without the CPU headroom).
+    if "--no-scaling" not in sys.argv:
         import subprocess
         here = os.path.dirname(os.path.abspath(__file__))
         env = dict(os.environ)

@@ -149,3 +149,23 @@ def test_multihost_helpers_single_host():
     assert mesh.shape["dp"] * mesh.shape["tp"] == len(jax.devices())
     with pytest.raises(ValueError):
         multihost.global_mesh(dp=3, tp=3)  # 9 != 8 devices
+
+
+def test_dryrun_flagship():
+    """The driver's multichip dryrun at the REAL testnet-one shapes
+    (n=4096, 2 ct limbs + special prime): sharded-compile or collective-
+    layout regressions at production shapes must not hide behind the
+    fast-compile tiny ring.  Compiles persist to the JAX cache, so the
+    first run pays them once."""
+    import subprocess
+    import sys
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8, flagship=True)"],
+        capture_output=True, text=True, timeout=3000, cwd=repo,
+        env={**os.environ, "PYTHONPATH": repo})
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "dryrun_multichip OK" in res.stdout
+    assert "testnet.one n=4096" in res.stdout
