@@ -150,6 +150,16 @@ class FheApp:
                 if public_key.relin is None:
                     raise FheError(FheErrorCode.RUNTIME_ERROR,
                                    "public key lacks relinearization keys")
+                # A relin key whose params differ from the app's would be
+                # range-checked against ITS OWN moduli only (keyio), so its
+                # residues can exceed the app moduli — non-canonical inputs
+                # on which the accelerated engines' Shoup/lazy bounds no
+                # longer hold (bytes could diverge from golden with code
+                # 0).  Reject like the native stack does (precompiles.cpp
+                # do_binary rk_params guard) -> RUNTIME_ERROR.
+                if public_key.relin.params != self.params:
+                    raise FheError(FheErrorCode.RUNTIME_ERROR,
+                                   "relin key parameter set mismatch")
                 return eng.mul_relin(a, b, public_key.relin)
             if shape == "cp":
                 pb = ptype.encode(b, self.params)

@@ -117,6 +117,10 @@ class ByteServer:
         if op == "mul" and pk.relin is None:
             raise FheError(FheErrorCode.RUNTIME_ERROR,
                            "public key lacks relinearization keys")
+        if op == "mul" and pk.relin.params != self.params:
+            # app.py _run_op rk-params guard (consensus: see that comment)
+            raise FheError(FheErrorCode.RUNTIME_ERROR,
+                           "relin key parameter set mismatch")
         return op, pk, a, b
 
     # ------------------------------------------------------------------

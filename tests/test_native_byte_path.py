@@ -639,3 +639,49 @@ def test_static_library_host(native):
                          timeout=300)
     assert res.returncode == 0, res.stderr
     assert "HOST TEST PASSED" in res.stdout
+
+
+def test_foreign_relin_params_rejected_everywhere(native):
+    """A pk whose RELIN params differ from the app's (same shapes, larger
+    moduli, so the blob is wire-valid and self-consistent) must fail mul
+    with code 7 on every stack: its residues are only range-checked
+    against its own moduli, so letting it reach an accelerated engine
+    would feed non-canonical inputs (Shoup/lazy bounds broken — bytes
+    could diverge from golden with code 0).  Regression for the app-level
+    guard mirroring native do_binary's rk_params check."""
+    import dataclasses
+    from fhe_precompiles_tpu import FheApp
+    from fhe_precompiles_tpu.bfv.golden import RelinKeys
+    from fhe_precompiles_tpu.params import Params, ntt_friendly_primes
+    from fhe_precompiles_tpu.serve import ByteServer
+
+    base = FHE.params
+    swap = ntt_friendly_primes(4096, 2, exclude=base.coeff_modulus)
+    foreign = Params(poly_modulus_degree=base.n,
+                     coeff_modulus=(swap[0], swap[1], base.coeff_modulus[2]),
+                     plain_modulus=base.t)
+    for j in range(3):  # residues stay in range under the foreign moduli
+        assert foreign.coeff_modulus[j] >= base.coeff_modulus[j]
+    pk, _sk = FHE.generate_keys()
+    evil = dataclasses.replace(
+        pk, relin=RelinKeys(foreign, pk.relin.data))
+    a = _ct(3, "u64", pk, b"fr1")
+    b = _ct(2, "u64", pk, b"fr2")
+    data = pack.pack_binary_operation(evil, a, _CT_CODEC, b, _CT_CODEC)
+
+    jax_app = FheApp(FHE.params, engine="jax")
+    got = {
+        "golden": FHE.call("mul_cipheru64_cipheru64", data),
+        "jax": jax_app.call("mul_cipheru64_cipheru64", data),
+        "native": native.call("mul_cipheru64_cipheru64", data),
+        "server_py": ByteServer(FHE.params, app=jax_app).run(
+            [("mul_cipheru64_cipheru64", data)])[0],
+        "server_nat": ByteServer(FHE.params, app=jax_app,
+                                 codec="native").run(
+            [("mul_cipheru64_cipheru64", data)])[0],
+    }
+    assert all(v == (7, b"") for v in got.values()), got
+    # add still works through the same pk (relin unused)
+    code, out = native.call("add_cipheru64_cipheru64", data)
+    assert code == 0 and (code, out) == FHE.call("add_cipheru64_cipheru64",
+                                                 data)
