@@ -107,6 +107,63 @@ def run(emit, quick: bool = False, device_rate: float | None = None,
     assert all(c == 0 for c, _ in got)
     emit("byte_server_python_mul_ops_per_sec", NPY / dt_py, "ops/s/host")
 
+    # ---- realistic MIXED stream: cc + cp/pc + threshold -----------------
+    # The reference surface is all 36 binary ops + the threshold API, not
+    # just cc mul.  Mix: 50% cc (add/sub/mul), 25% cp/pc (incl. mul_plain,
+    # which carries real NTT work), 15% encrypt, 10% decrypt.  The python
+    # codec batches only the cc block (cp/pc/threshold fall back to
+    # sequential FheApp.call); the native codec batches everything.
+    import random
+    rng = random.Random(7)
+    NMIX = 128 if quick else 512
+    mixed = []
+    for j in range(NMIX):
+        r = rng.random()
+        i = j % 8
+        if r < 0.50:
+            op = rng.choice(["add", "sub", "mul"])
+            mixed.append((f"{op}_cipheru64_cipheru64",
+                          pack.pack_binary_operation(
+                              net_pk, ct_pairs[i][0], _CT_CODEC,
+                              ct_pairs[i][1], _CT_CODEC)))
+        elif r < 0.75:
+            op = rng.choice(["add", "sub", "mul"])
+            if rng.random() < 0.5:
+                mixed.append((f"{op}_cipheru64_u64",
+                              pack.pack_binary_operation(
+                                  net_pk, ct_pairs[i][0], _CT_CODEC,
+                                  j + 1, pack.U64)))
+            else:
+                mixed.append((f"{op}_u64_cipheru64",
+                              pack.pack_binary_operation(
+                                  net_pk, j + 1, pack.U64,
+                                  ct_pairs[i][1], _CT_CODEC)))
+        elif r < 0.90:
+            mixed.append(("encrypt_u64",
+                          pack.pack_two_arguments(j, pack.U64,
+                                                  b"pd%d" % j, pack.BYTES)))
+        else:
+            mixed.append(("decrypt_u64",
+                          pack.pack_one_argument(ct_pairs[i][0],
+                                                 _CT_CODEC)))
+    server.run(mixed)  # warm exact shapes
+    t0 = time.time()
+    got = server.run(mixed)
+    dt_mix_nat = time.time() - t0
+    assert all(c == 0 for c, _ in got)
+    emit("byte_server_native_mixed_ops_per_sec", NMIX / dt_mix_nat,
+         "ops/s/host")
+    NMIXPY = max(32, NMIX // 4)
+    server_py.run(mixed[:NMIXPY])
+    t0 = time.time()
+    got = server_py.run(mixed[:NMIXPY])
+    dt_mix_py = time.time() - t0
+    assert all(c == 0 for c, _ in got)
+    emit("byte_server_python_mixed_ops_per_sec", NMIXPY / dt_mix_py,
+         "ops/s/host")
+    emit("byte_server_mixed_native_vs_python", (NMIX / dt_mix_nat)
+         / (NMIXPY / dt_mix_py), "x")
+
     # ---- co-located projection ------------------------------------------
     # Host codec and device compute overlap (decode-ahead windows), so a
     # host wired to its chip by PCIe/ICI rather than this dev tunnel is
