@@ -110,9 +110,9 @@ def run(emit, quick: bool = False, device_rate: float | None = None,
     # ---- realistic MIXED stream: cc + cp/pc + threshold -----------------
     # The reference surface is all 36 binary ops + the threshold API, not
     # just cc mul.  Mix: 50% cc (add/sub/mul), 25% cp/pc (incl. mul_plain,
-    # which carries real NTT work), 15% encrypt, 10% decrypt.  The python
-    # codec batches only the cc block (cp/pc/threshold fall back to
-    # sequential FheApp.call); the native codec batches everything.
+    # which carries real NTT work), 13% encrypt, 7% decrypt, 5% reencrypt.
+    # The python codec batches only the cc block (cp/pc/threshold fall
+    # back to sequential FheApp.call); the native codec batches everything.
     import random
     rng = random.Random(7)
     NMIX = 128 if quick else 512
@@ -138,14 +138,19 @@ def run(emit, quick: bool = False, device_rate: float | None = None,
                               pack.pack_binary_operation(
                                   net_pk, j + 1, pack.U64,
                                   ct_pairs[i][1], _CT_CODEC)))
-        elif r < 0.90:
+        elif r < 0.88:
             mixed.append(("encrypt_u64",
                           pack.pack_two_arguments(j, pack.U64,
                                                   b"pd%d" % j, pack.BYTES)))
-        else:
+        elif r < 0.95:
             mixed.append(("decrypt_u64",
                           pack.pack_one_argument(ct_pairs[i][0],
                                                  _CT_CODEC)))
+        else:
+            mixed.append(("reencrypt_u64",
+                          pack.pack_binary_operation(
+                              net_pk, ct_pairs[i][0], _CT_CODEC,
+                              b"rd%d" % j, pack.BYTES)))
     server.run(mixed)  # warm exact shapes
     t0 = time.time()
     got = server.run(mixed)

@@ -157,6 +157,22 @@ int32_t fhe_tpu_unpack_decrypt(const uint8_t *data, size_t data_len,
 int32_t fhe_tpu_decode_scalar(const char *tname, const uint64_t *poly,
                               uint8_t **out, int64_t *out_len);
 
+/* Decode one reencrypt_* calldata blob: fills ct (iff size == 2) for the
+ * batched network-key decrypt and hands out the TARGET pk.  After the
+ * device decrypt, fhe_tpu_reencrypt_finish turns the (n,) poly into the
+ * re-encoded plaintext + the full-input-bound 64-byte seed (5 on decode
+ * failure, 6 on encode failure); the caller then batch-encrypts under
+ * the target keys (fhe_tpu_pk_data), grouped by fhe_tpu_pk_id. */
+int32_t fhe_tpu_unpack_reencrypt(const uint8_t *data, size_t data_len,
+                                 uint64_t *ct, uint64_t *ct_size,
+                                 void **pk_handle);
+int32_t fhe_tpu_reencrypt_finish(const char *tname, const uint8_t *data,
+                                 size_t data_len, const uint64_t *poly,
+                                 uint64_t *m, uint8_t *seed64);
+
+/* The parsed key's (2, k_key, n) public-key data. */
+int32_t fhe_tpu_pk_data(void *pk_handle, uint64_t *pk_out);
+
 #ifdef __cplusplus
 }  /* extern "C" */
 #endif

@@ -46,6 +46,14 @@ class PkRef:
             raise ValueError(f"fhe_tpu_pk_relin failed: code {rc}")
         return out
 
+    def data(self, k_key: int, n: int) -> np.ndarray:
+        """The key's (2, k_key, n) public-key data (NTT form)."""
+        out = np.empty((2, k_key, n), dtype=np.uint64)
+        rc = self._lib.fhe_tpu_pk_data(self._handle, out.ctypes.data_as(_U64P))
+        if rc:
+            raise ValueError(f"fhe_tpu_pk_data failed: code {rc}")
+        return out
+
     def release(self) -> None:
         if self._handle:
             self._lib.fhe_tpu_pk_release(self._handle)
@@ -106,6 +114,15 @@ class NativeCodec:
         lib.fhe_tpu_decode_scalar.argtypes = [
             c_char_p, _U64P, POINTER(c_void_p), POINTER(c_int64)]
         lib.fhe_tpu_decode_scalar.restype = c_int32
+        lib.fhe_tpu_unpack_reencrypt.argtypes = [
+            c_char_p, c_size_t, _U64P, POINTER(c_uint64),
+            POINTER(c_void_p)]
+        lib.fhe_tpu_unpack_reencrypt.restype = c_int32
+        lib.fhe_tpu_reencrypt_finish.argtypes = [
+            c_char_p, c_char_p, c_size_t, _U64P, _U64P, POINTER(c_uint8)]
+        lib.fhe_tpu_reencrypt_finish.restype = c_int32
+        lib.fhe_tpu_pk_data.argtypes = [c_void_p, _U64P]
+        lib.fhe_tpu_pk_data.restype = c_int32
         lib.fhe_free.argtypes = [c_void_p]
         lib.fhe_free.restype = None
         self.lib = lib
@@ -197,6 +214,31 @@ class NativeCodec:
         if rc:
             return rc, None, 0
         return 0, ct, size.value
+
+    def unpack_reencrypt(self, data: bytes):
+        """Decode a reencrypt_* blob -> (code, ct, size, target PkRef)."""
+        ct = np.empty((2, self.k, self.n), dtype=np.uint64)
+        size = c_uint64()
+        handle = c_void_p()
+        rc = self.lib.fhe_tpu_unpack_reencrypt(
+            data, len(data), ct.ctypes.data_as(_U64P), byref(size),
+            byref(handle))
+        if rc:
+            return rc, None, 0, None
+        return 0, ct, size.value, PkRef(self.lib, handle.value)
+
+    def reencrypt_finish(self, tname: str, data: bytes, poly: np.ndarray
+                         ) -> Tuple[int, Optional[np.ndarray], bytes]:
+        """Decrypted poly -> (code, re-encoded (n,) plain, seed64)."""
+        arr = np.ascontiguousarray(poly, dtype=np.uint64)
+        m = np.empty(self.n, dtype=np.uint64)
+        seed = (c_uint8 * 64)()
+        rc = self.lib.fhe_tpu_reencrypt_finish(
+            tname.encode(), data, len(data), arr.ctypes.data_as(_U64P),
+            m.ctypes.data_as(_U64P), seed)
+        if rc:
+            return rc, None, b""
+        return 0, m, bytes(seed)
 
     def decode_scalar(self, tname: str, poly: np.ndarray
                       ) -> Tuple[int, bytes]:

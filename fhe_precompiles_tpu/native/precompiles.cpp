@@ -2086,6 +2086,89 @@ static int32_t tpu_decode_scalar(const char* tname, const u64* poly,
   }
 }
 
+// Decode phase of do_reencrypt: parse (pk, ciphertext, public_data),
+// params checks in app.py _reencrypt order (ct -> 5, pk -> 6).  The
+// caller then batch-decrypts under the network key, finishes each item
+// with fhe_tpu_reencrypt_finish, and batch-encrypts under the target pk
+// (grouped by fhe_tpu_pk_id).  size != 2 -> route to the one-shot path.
+static int32_t tpu_unpack_reencrypt(const u8* input, size_t len,
+                                    u64* ct_out, u64* ct_size_out,
+                                    void** pk_handle) {
+  if (!ct_out || !ct_size_out || !pk_handle) return 3;
+  *pk_handle = nullptr;
+  App* a = app();
+  if (!a) return 7;
+  try {
+    View pk_v, ct_v, pd_v;
+    unpack_binary_operation(input, len, &pk_v, &ct_v, &pd_v);
+    auto pk_entry = parse_pk_cached(a, pk_v.p, pk_v.len);
+    Ciphertext ct = load_ciphertext(ct_v.p, ct_v.len);
+    check_params(a, ct.params, 5);
+    check_params(a, pk_entry->pk.params, 6);
+    if (ct.size < 1) return 5;  // engine_decrypt precondition
+    *ct_size_out = ct.size;
+    if (ct.size == 2)
+      std::memcpy(ct_out, ct.data.data(), 2 * a->k * a->n * sizeof(u64));
+    *pk_handle = new PkHandle{std::move(pk_entry)};
+    return 0;
+  } catch (FheErr& e) {
+    return e.code;
+  } catch (...) {
+    return 7;
+  }
+}
+
+// Host half between the two device phases of reencrypt: decode the
+// decrypted poly (failures -> 5, app.py:240-243), derive the full-input-
+// bound seed (fhe.rs:676: public_data + entire input + value bytes) and
+// re-encode the value (failures -> 6).
+static int32_t tpu_reencrypt_finish(const char* tname, const u8* input,
+                                    size_t len, const u64* poly, u64* m_out,
+                                    u8* seed_out) {
+  if (!tname || !poly || !m_out || !seed_out) return 3;
+  App* a = app();
+  if (!a) return 7;
+  int tag;
+  if (!parse_type(tname, &tag)) return 3;
+  try {
+    View pk_v, ct_v, pd_v;
+    unpack_binary_operation(input, len, &pk_v, &ct_v, &pd_v);
+    Scalar value;
+    try {
+      value = decode_plain(tag, poly, a->n, a->t);
+    } catch (...) {
+      return 5;
+    }
+    std::vector<u8> value_ser = scalar_serialize(value);
+    sha512::Ctx h;
+    h.update(pd_v.p, pd_v.len);
+    h.update(input, len);
+    h.update(value_ser.data(), value_ser.size());
+    h.final(seed_out);
+    std::vector<u64> m;
+    try {
+      m = encode_plain(value, a->n, a->t);
+    } catch (...) {
+      return 6;
+    }
+    std::memcpy(m_out, m.data(), a->n * sizeof(u64));
+    return 0;
+  } catch (FheErr& e) {
+    return e.code;
+  } catch (...) {
+    return 7;
+  }
+}
+
+// The parsed key's (2, k_key, n) data — the device path encrypts under
+// caller-supplied target keys.
+static int32_t tpu_pk_data(void* handle, u64* out) {
+  if (!handle || !out) return 3;
+  const PublicKey& pk = static_cast<PkHandle*>(handle)->e->pk;
+  std::memcpy(out, pk.data.data(), pk.data.size() * sizeof(u64));
+  return 0;
+}
+
 static int32_t tpu_init_keys(const u8* pub, size_t pub_len, const u8* pri,
                              size_t pri_len) {
   if (!pub || !pri || !pub_len || !pri_len) return 3;
@@ -2205,6 +2288,24 @@ int32_t fhe_tpu_unpack_decrypt(const uint8_t* data, size_t data_len,
 int32_t fhe_tpu_decode_scalar(const char* tname, const uint64_t* poly,
                               uint8_t** out, int64_t* out_len) {
   return fheabi::tpu_decode_scalar(tname, poly, out, out_len);
+}
+
+int32_t fhe_tpu_unpack_reencrypt(const uint8_t* data, size_t data_len,
+                                 uint64_t* ct, uint64_t* ct_size,
+                                 void** pk_handle) {
+  return fheabi::tpu_unpack_reencrypt(data, data_len, ct, ct_size,
+                                      pk_handle);
+}
+
+int32_t fhe_tpu_reencrypt_finish(const char* tname, const uint8_t* data,
+                                 size_t data_len, const uint64_t* poly,
+                                 uint64_t* m, uint8_t* seed64) {
+  return fheabi::tpu_reencrypt_finish(tname, data, data_len, poly, m,
+                                      seed64);
+}
+
+int32_t fhe_tpu_pk_data(void* pk_handle, uint64_t* pk_out) {
+  return fheabi::tpu_pk_data(pk_handle, pk_out);
 }
 
 }  // extern "C"

@@ -23,8 +23,10 @@ Two host codecs:
 * ``codec="native"`` — the C++ codec in libc_fhe_native.so (fhe_tpu_*
   extension, native/codec.py): decode/encode run GIL-free in C++ worker
   threads, and the batched surface widens to all 36 binary ops (cp/pc
-  plain ops batch on device too) plus threshold encrypt_* / decrypt_*.
-  Only reencrypt_* and odd-sized ciphertexts fall back.
+  plain ops batch on device too) plus the full threshold API —
+  encrypt_*, decrypt_* and reencrypt_* (network-key decrypt batch, C++
+  decode/seed/re-encode, target-key encrypt batch grouped by key).
+  Only odd-sized ciphertexts fall back.
 
 Requests are grouped by (op kind, public key): the pk parse caches (both
 stacks) return one identity per distinct key bytes, and each group shares
@@ -43,6 +45,16 @@ from .app import _CT_CODEC, _PK_CODEC, FheApp, PRECOMPILE_NAMES
 from .bfv.golden import Ciphertext
 from .errors import FheError, FheErrorCode
 from .params import Params
+
+
+class _EncPk:
+    """Duck-typed PublicKey carrying only pk data (encrypt_batch reads
+    pk.data[:, :k])."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data):
+        self.data = data
 
 
 class _PkView:
@@ -152,7 +164,12 @@ class ByteServer:
                 return "fallback", None
             return "dec", (rest, ct)
         if head == "reencrypt":
-            return "fallback", None
+            code, ct, size, pk = cod.unpack_reencrypt(data)
+            if code:
+                return "err", code
+            if size != 2:
+                return "fallback_pk", pk
+            return "reenc", (rest, ct, pk)
         code, shape, op, ct, other, ct_size, other_size, pk = \
             cod.unpack_binary(name, data)
         if code:
@@ -177,9 +194,9 @@ class ByteServer:
         """Native-codec path: C++ decode/encode in worker threads (GIL-free,
         ctypes releases it per call), device compute batched per op family.
         Batches all 36 binary ops (cp/pc plaintext polys encoded by the C++
-        codec) plus threshold encrypt_*/decrypt_*; reencrypt_* and odd-size
-        ciphertexts fall back to the per-request path (same bytes either
-        way).
+        codec) plus the full threshold API (encrypt/decrypt/reencrypt);
+        only odd-size ciphertexts fall back to the per-request path (same
+        bytes either way).
 
         The stream is processed in windows of ``pipeline_window`` requests
         with one-window decode-ahead: while window w computes on device and
@@ -224,6 +241,7 @@ class ByteServer:
                 plain_jobs: dict[str, list] = {}
                 enc_jobs: list = []
                 dec_jobs: list = []
+                reenc_jobs: list = []
                 refs: list = []
                 for i, kind, payload in decoded:
                     if kind == "err":
@@ -239,6 +257,9 @@ class ByteServer:
                         enc_jobs.append((i,) + payload)
                     elif kind == "dec":
                         dec_jobs.append((i,) + payload)
+                    elif kind == "reenc":
+                        reenc_jobs.append((i,) + payload)
+                        refs.append(payload[2])
                     elif kind == "plain_pk":
                         fn, ct, other, pk = payload
                         plain_jobs.setdefault(fn, []).append((i, ct, other))
@@ -296,6 +317,42 @@ class ByteServer:
                                                         app.private_key))
                     for slot, (i, tname, _c) in enumerate(chunk):
                         dec_polys.append((i, tname, host[slot]))
+
+                # reencrypt: batched network-key decrypt, C++ decode/seed/
+                # re-encode, then batched encrypt grouped by TARGET key
+                if reenc_jobs:
+                    polys: list = []
+                    for c0 in range(0, len(reenc_jobs), self.max_batch):
+                        chunk = reenc_jobs[c0:c0 + self.max_batch]
+                        cts = np.stack([c for _, _, c, _ in chunk])
+                        host = np.asarray(eng.decrypt_batch(
+                            cts, app.private_key))
+                        polys.extend(host[s] for s in range(len(chunk)))
+
+                    def finish(idx):
+                        i, tname, _ct, pk = reenc_jobs[idx]
+                        code, m, seed = cod.reencrypt_finish(
+                            tname, requests[i][1], polys[idx])
+                        return idx, code, m, seed
+                    re_groups: dict[int, list] = {}
+                    for idx, code, m, seed in pool.map(
+                            finish, range(len(reenc_jobs))):
+                        i, _t, _c, pk = reenc_jobs[idx]
+                        if code:
+                            results[i] = (code, b"")
+                        else:
+                            re_groups.setdefault(pk.id, []).append(
+                                (i, m, seed, pk))
+                    for items in re_groups.values():
+                        target = _EncPk(items[0][3].data(cod.kk, cod.n))
+                        for c0 in range(0, len(items), self.max_batch):
+                            chunk = items[c0:c0 + self.max_batch]
+                            plains = np.stack([m for _, m, _, _ in chunk])
+                            seeds = [s for _, _, s, _ in chunk]
+                            host = np.asarray(eng.encrypt_batch(
+                                plains, target, seeds))
+                            for slot, (i, _m, _s, _p) in enumerate(chunk):
+                                encode_jobs.append((i, host[slot]))
 
                 # ---- host encode (C++ zstd/bincode, GIL-free) ------------
                 for i, payload in pool.map(encode, encode_jobs):
