@@ -421,7 +421,13 @@ def main():
             " chip by PCIe/ICI would sustain (PCIe gen4 transfer adds <2%"
             " at these sizes).  On this 4-core host the projection is"
             " host-codec-bound; production hosts with more cores move it"
-            " toward the device rate.\n"
+            " toward the device rate.  The codec itself runs near its"
+            " zstd floor: level-3 compress of one output ciphertext"
+            " measures ~860 us/core here (the LEVEL is consensus-pinned"
+            " byte format, not a tunable) and each input decompress"
+            " ~160 us, so the ~1.6 ms/request single-core roundtrip is"
+            " ~75% raw zstd — remaining copies/checks are not the lever;"
+            " host cores are.\n"
             "\n## Methodology notes\n\n"
             "* The headline mul+relin metric uses DISTINCT operands"
             " (mul_relin(c, roll(c,1))): a squaring chain lets XLA CSE the"
