@@ -232,8 +232,30 @@ def main():
     napp_jax._engine = eng                      # reuse the warmed engine
     mr_rate_now = next(r["value"] for r in results
                        if r["metric"] == "bfv_mul_relin_n4096_ops_per_sec")
+    # codec-only rates in a FRESH CPU-only subprocess: a process holding
+    # the TPU client measures ~3x lower threaded codec rates (its
+    # resident threads serialize the worker pool); the subprocess never
+    # touches the device, so there is no TPU contention.
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    codec_rate = None
+    sub = subprocess.run(
+        [sys.executable, os.path.join(here, "serve_bench.py"),
+         "--codec-only"] + (["--quick"] if quick else []),
+        capture_output=True, text=True, timeout=1800)
+    for line in sub.stdout.splitlines():
+        try:
+            row = json.loads(line)
+        except ValueError:
+            continue
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        if row["metric"] == "byte_codec_native_roundtrip_per_sec":
+            codec_rate = row["value"]
+    if codec_rate is None:
+        log(f"codec-only subprocess failed: {sub.stderr[-400:]}")
     serve_bench.run(emit, quick=quick, device_rate=mr_rate_now,
-                    app=napp_jax, log=log)
+                    app=napp_jax, log=log, codec_rate=codec_rate)
 
     # ---- roofline accounting ------------------------------------------
     compiled = jax.jit(

@@ -32,7 +32,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(emit, quick: bool = False, device_rate: float | None = None,
-        app=None, log=print):
+        app=None, log=print, codec_only: bool = False,
+        codec_rate: float | None = None):
+    """codec_only: measure ONLY the host-codec rates (no device/e2e work)
+    — meant to run in a fresh CPU-only process: a process that also holds
+    the TPU client measures ~3x lower threaded codec rates (its resident
+    threads serialize the pool).  codec_rate: skip the codec measurement
+    and use this rate for the projection row (report.py passes the
+    fresh-process number in)."""
     from fhe_precompiles_tpu import pack
     from fhe_precompiles_tpu.app import _CT_CODEC, FheApp
     from fhe_precompiles_tpu.encoding import encode_unsigned
@@ -41,10 +48,16 @@ def run(emit, quick: bool = False, device_rate: float | None = None,
     from fhe_precompiles_tpu.testnet import one
 
     FHE = one.FHE
-    if app is None:
+    if app is None and not codec_only:
         app = FheApp(TESTNET_ONE, engine="jax")
-    server = ByteServer(TESTNET_ONE, app=app, codec="native")
-    cod = server.codec
+    if codec_only:
+        from fhe_precompiles_tpu.native.codec import NativeCodec
+        app = FheApp(TESTNET_ONE)  # golden: codec only needs the keys
+        cod = NativeCodec(app)
+        server = None
+    else:
+        server = ByteServer(TESTNET_ONE, app=app, codec="native")
+        cod = server.codec
     net_pk = FHE.public_key
 
     ct_pairs = [(FHE.ctx.encrypt(encode_unsigned(i + 1, TESTNET_ONE, 64),
@@ -52,42 +65,51 @@ def run(emit, quick: bool = False, device_rate: float | None = None,
                  FHE.ctx.encrypt(encode_unsigned(i + 2, TESTNET_ONE, 64),
                                  net_pk, bytes([i + 64]) * 64))
                 for i in range(8)]
-    NSRV = 128 if quick else 1024
+    # codec_rate given (report mode): the tunnel-bound e2e rows don't need
+    # 1024 requests' worth of transfer minutes
+    NSRV = 128 if quick else (256 if codec_rate is not None else 1024)
     name = "mul_cipheru64_cipheru64"
     reqs = [(name, pack.pack_binary_operation(net_pk, ct_pairs[i % 8][0],
                                               _CT_CODEC, ct_pairs[i % 8][1],
                                               _CT_CODEC))
             for i in range(NSRV)]
 
-    # ---- codec-only decode (C++ unpack in worker threads, no device) ----
-    workers = server.workers
+    # ---- codec-only decode/encode (C++ worker threads, no device) -------
+    if codec_rate is None:
+        import os as _os
+        workers = min(32, _os.cpu_count() or 1)
 
-    def decode_only(data):
-        code, _s, _o, _a, _b, _sa, _sb, pk = cod.unpack_binary(name, data)
-        assert code == 0
-        pk.release()
+        def decode_only(data):
+            code, _s, _o, _a, _b, _sa, _sb, pk = cod.unpack_binary(name,
+                                                                   data)
+            assert code == 0
+            pk.release()
 
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        list(pool.map(decode_only, [d for _, d in reqs[:16]]))  # warm pk LRU
-        t0 = time.time()
-        list(pool.map(decode_only, [d for _, d in reqs]))
-        dt_dec = time.time() - t0
-    emit("byte_codec_native_decode_mul_per_sec", NSRV / dt_dec, "reqs/s/host")
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(decode_only, [d for _, d in reqs[:16]]))  # warm
+            t0 = time.time()
+            list(pool.map(decode_only, [d for _, d in reqs]))
+            dt_dec = time.time() - t0
+        emit("byte_codec_native_decode_mul_per_sec", NSRV / dt_dec,
+             "reqs/s/host")
 
-    # ---- codec-only encode (C++ pack: bincode+SEAL+zstd) ----------------
-    # a realistic output ciphertext (post-mul residues, not zeros)
-    out_ct = FHE.ctx.mul_relin(ct_pairs[0][0], ct_pairs[0][1],
-                               net_pk.relin).data
-    outs = [np.array(out_ct) for _ in range(NSRV)]
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        list(pool.map(cod.pack_ciphertext, outs[:8]))
-        t0 = time.time()
-        list(pool.map(cod.pack_ciphertext, outs))
-        dt_enc = time.time() - t0
-    emit("byte_codec_native_encode_ct_per_sec", NSRV / dt_enc, "reqs/s/host")
+        # a realistic output ciphertext (post-mul residues, not zeros)
+        out_ct = FHE.ctx.mul_relin(ct_pairs[0][0], ct_pairs[0][1],
+                                   net_pk.relin).data
+        outs = [np.array(out_ct) for _ in range(NSRV)]
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(cod.pack_ciphertext, outs[:8]))
+            t0 = time.time()
+            list(pool.map(cod.pack_ciphertext, outs))
+            dt_enc = time.time() - t0
+        emit("byte_codec_native_encode_ct_per_sec", NSRV / dt_enc,
+             "reqs/s/host")
 
-    codec_rate = NSRV / (dt_dec + dt_enc)
-    emit("byte_codec_native_roundtrip_per_sec", codec_rate, "reqs/s/host")
+        codec_rate = NSRV / (dt_dec + dt_enc)
+        emit("byte_codec_native_roundtrip_per_sec", codec_rate,
+             "reqs/s/host")
+    if codec_only:
+        return codec_rate
 
     # ---- end-to-end ByteServer (native codec, pipelined windows) --------
     server.run(reqs)  # warm: compile the EXACT batch shapes + pk caches
@@ -235,17 +257,21 @@ def _measure_device_rate(app, log):
 
 def main():
     quick = "--quick" in sys.argv
+    codec_only = "--codec-only" in sys.argv
     device_rate = None
     if "--device-rate" in sys.argv:
         device_rate = float(sys.argv[sys.argv.index("--device-rate") + 1])
     import jax
+    if codec_only:
+        # no device work: stay off the (possibly busy) TPU entirely
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
     def emit(metric, value, unit):
         print(json.dumps({"metric": metric, "value": round(value, 2),
                           "unit": unit}), flush=True)
 
-    run(emit, quick=quick, device_rate=device_rate,
+    run(emit, quick=quick, device_rate=device_rate, codec_only=codec_only,
         log=lambda *a: print(*a, file=sys.stderr, flush=True))
 
 

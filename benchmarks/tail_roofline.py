@@ -169,6 +169,10 @@ def main(emit_fn=None):
     rates["barrett"] = x_ct[0].size / max(t_sb - t_lazy, t_shoup * 0.2)
     t_add = pair_chain(lambda c: pr.addmod(c, w_full, p_pair), x_ct,
                        8, 56) - mix_ct
+    # the mix subtraction can eat most of this cheap pass — clamp to the
+    # pass's own HBM floor (2 reads + 1 write, 8 B/point) so one noisy
+    # window can't produce an absurd rate
+    t_add = max(t_add, 24.0 * x_ct[0].size / (HBM_GBPS * 1e9))
     rates["addsub"] = x_ct[0].size / t_add
     for kname, v in rates.items():
         emit(f"pair_{kname}_sustained_points_per_sec", v, "points/s")
