@@ -83,8 +83,6 @@ def main():
                                             TESTNET_ONE)
     from fhe_precompiles_tpu.parallel import RequestStream
 
-    dev = jax.devices()[0]
-    log(f"device: {dev.platform} {dev.device_kind}")
     rng = np.random.default_rng(0)
     results = []
 
@@ -94,6 +92,33 @@ def main():
             row["vs_baseline"] = round(value / baseline, 4)
         results.append(row)
         print(json.dumps(row), flush=True)
+
+    # ---- host-codec rates FIRST, on a quiet host ----------------------
+    # Measured in a CPU-only subprocess BEFORE this process touches the
+    # TPU: after heavy tunnel traffic the host measures ~3x lower
+    # threaded codec rates (the transfer proxy contends for the 4 CPUs),
+    # which understated the canonical serving rows in earlier runs.
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    codec_rate = None
+    sub = subprocess.run(
+        [sys.executable, os.path.join(here, "serve_bench.py"),
+         "--codec-only"] + (["--quick"] if quick else []),
+        capture_output=True, text=True, timeout=1800)
+    for line in sub.stdout.splitlines():
+        try:
+            row = json.loads(line)
+        except ValueError:
+            continue
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        if row["metric"] == "byte_codec_native_roundtrip_per_sec":
+            codec_rate = row["value"]
+    if codec_rate is None:
+        log(f"codec-only subprocess failed: {sub.stderr[-400:]}")
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
 
     # ---- config 1: ct add, n=1024, single modulus --------------------
     ctx1 = BfvContext(BENCH_N1024)
@@ -232,28 +257,7 @@ def main():
     napp_jax._engine = eng                      # reuse the warmed engine
     mr_rate_now = next(r["value"] for r in results
                        if r["metric"] == "bfv_mul_relin_n4096_ops_per_sec")
-    # codec-only rates in a FRESH CPU-only subprocess: a process holding
-    # the TPU client measures ~3x lower threaded codec rates (its
-    # resident threads serialize the worker pool); the subprocess never
-    # touches the device, so there is no TPU contention.
-    import subprocess
-    here = os.path.dirname(os.path.abspath(__file__))
-    codec_rate = None
-    sub = subprocess.run(
-        [sys.executable, os.path.join(here, "serve_bench.py"),
-         "--codec-only"] + (["--quick"] if quick else []),
-        capture_output=True, text=True, timeout=1800)
-    for line in sub.stdout.splitlines():
-        try:
-            row = json.loads(line)
-        except ValueError:
-            continue
-        results.append(row)
-        print(json.dumps(row), flush=True)
-        if row["metric"] == "byte_codec_native_roundtrip_per_sec":
-            codec_rate = row["value"]
-    if codec_rate is None:
-        log(f"codec-only subprocess failed: {sub.stderr[-400:]}")
+    # codec_rate was measured at the very top of main(), pre-TPU-traffic
     serve_bench.run(emit, quick=quick, device_rate=mr_rate_now,
                     app=napp_jax, log=log, codec_rate=codec_rate)
 

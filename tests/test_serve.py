@@ -188,3 +188,26 @@ def test_native_codec_large_mixed_stream():
     got = server.run(reqs)
     for (name, data), res in zip(reqs, got):
         assert res == app.call(name, data), name
+
+
+def test_byte_server_on_mesh_native_codec():
+    """ByteServer over a dp x tp device mesh with the native codec: the
+    sharded device phase (XLA collectives for the cross-limb
+    contractions) must not change a single output byte."""
+    from fhe_precompiles_tpu.parallel.mesh import make_mesh
+    app = FheApp(FHE.params, engine="jax")
+    mesh = make_mesh(dp=4, tp=2)
+    server = ByteServer(FHE.params, app=app, mesh=mesh, codec="native")
+    pk1, _ = FHE.generate_keys()
+    a = _ct(5, "u64", pk1, b"m1")
+    b = _ct(3, "u64", pk1, b"m2")
+    reqs = []
+    for op in ("mul", "add", "mul", "sub", "mul"):
+        reqs.append((f"{op}_cipheru64_cipheru64",
+                     pack.pack_binary_operation(pk1, a, _CT_CODEC,
+                                                b, _CT_CODEC)))
+    reqs.append(("encrypt_u64",
+                 pack.pack_two_arguments(8, pack.U64, b"mm", pack.BYTES)))
+    got = server.run(reqs)
+    for (name, data), res in zip(reqs, got):
+        assert res == app.call(name, data), name
