@@ -71,6 +71,16 @@ def _mixed_stream(pk1, pk2):
     reqs.append(("mul_cipheru64_cipheru64",
                  pack.pack_binary_operation(pk_norelin, a, _CT_CODEC,
                                             b2, _CT_CODEC)))
+    # size-3 ciphertext (unrelinearized product): legal for add, must
+    # route through the one-shot fallback on both codecs
+    c3 = FHE.ctx.multiply(a, b2)
+    reqs.append(("add_cipheru64_cipheru64",
+                 pack.pack_binary_operation(pk1, c3, _CT_CODEC,
+                                            c3, _CT_CODEC)))
+    reqs.append(("decrypt_u64", pack.pack_one_argument(
+        FHE.ctx.multiply(_ct(2, "u64", FHE.public_key, b"n3a"),
+                         _ct(3, "u64", FHE.public_key, b"n3b")),
+        _CT_CODEC)))
     return reqs
 
 
