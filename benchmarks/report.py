@@ -68,6 +68,93 @@ def rand_ct_batch(ctx, B, rng):
     ]).reshape(B, 2, len(ctx.q_mods), n)
 
 
+def host_rows(emit, quick: bool = False, log=log):
+    """All host-CPU-only rows: the C-ABI byte path, the native C++
+    engine, and the pure-native shared library.
+
+    Run via ``python benchmarks/report.py --host-rows`` in a FRESH
+    process BEFORE the report touches the TPU: a process that has pushed
+    tunnel traffic (or co-runs with one) measures these host-core rates
+    up to ~3x low (its resident transfer threads contend for the 4
+    CPUs) — the same artifact that once understated the codec rows.
+    Nothing here needs JAX or the device."""
+    from fhe_precompiles_tpu import pack
+    from fhe_precompiles_tpu.app import _CT_CODEC, FheApp
+    from fhe_precompiles_tpu.bfv import BfvContext
+    from fhe_precompiles_tpu.encoding import encode_unsigned
+    from fhe_precompiles_tpu.params import TESTNET_ONE
+    from fhe_precompiles_tpu.testnet import one as testnet_one
+
+    FHE = testnet_one.FHE
+    ctx = BfvContext(TESTNET_ONE)
+
+    # ---- host byte-path decrypt throughput (C-ABI surface) ------------
+    ct_u64 = ctx.encrypt(encode_unsigned(123456, TESTNET_ONE, 64),
+                         FHE.public_key, b"\x47" * 64)
+    calldata = pack.pack_one_argument(ct_u64, _CT_CODEC)
+    code, _ = FHE.call("decrypt_u64", calldata)
+    assert code == 0
+    NDEC = 5 if quick else 20
+    t0 = time.time()
+    for _ in range(NDEC):
+        FHE.call("decrypt_u64", calldata)
+    dt = (time.time() - t0) / NDEC
+    emit("byte_path_decrypt_u64_per_sec", 1.0 / dt, "ops/s/host-core")
+
+    # ---- native C++ host engine (SEAL-analog CPU validator path) ------
+    napp = FheApp(TESTNET_ONE, engine="native")
+    neng = napp._engine
+    ca_nat, cb_nat = ctx.encrypt(
+        encode_unsigned(17, TESTNET_ONE, 64), FHE.public_key, b"\x11" * 64), \
+        ctx.encrypt(encode_unsigned(4, TESTNET_ONE, 64),
+                    FHE.public_key, b"\x22" * 64)
+    NOP = 10 if quick else 50
+    neng.mul_relin(ca_nat, cb_nat, FHE.public_key.relin)
+    t0 = time.time()
+    for _ in range(NOP):
+        neng.mul_relin(ca_nat, cb_nat, FHE.public_key.relin)
+    emit("native_mul_relin_per_sec", NOP / (time.time() - t0),
+         "ops/s/host-core")
+    t0 = time.time()
+    for _ in range(NOP):
+        neng.decrypt(ca_nat, FHE.private_key)
+    emit("native_decrypt_per_sec", NOP / (time.time() - t0),
+         "ops/s/host-core")
+    t0 = time.time()
+    for _ in range(NOP):
+        neng.encrypt(encode_unsigned(9, TESTNET_ONE, 64), FHE.public_key,
+                     b"\x33" * 64)
+    emit("native_encrypt_per_sec", NOP / (time.time() - t0),
+         "ops/s/host-core")
+    # full byte path (calldata parse -> native op -> serialize)
+    code, _ = napp.call("decrypt_u64", calldata)
+    assert code == 0
+    t0 = time.time()
+    for _ in range(NDEC):
+        napp.call("decrypt_u64", calldata)
+    emit("native_byte_path_decrypt_u64_per_sec", NDEC / (time.time() - t0),
+         "ops/s/host-core")
+
+    # ---- pure-native C ABI (libc_fhe_native.so, zero Python) ----------
+    # The deployment surface a non-Python node links; byte-identical to
+    # FheApp.call (tests/test_native_byte_path.py).
+    import subprocess as _sp
+
+    from fhe_precompiles_tpu.native import _DIR as _NDIR, NativeFhe
+    _sp.run(["make", "-C", _NDIR, "libc_fhe_native.so"], check=True,
+            capture_output=True)
+    nat = NativeFhe(os.path.join(_NDIR, "libc_fhe_native.so"))
+    mul_calldata = pack.pack_binary_operation(
+        FHE.public_key, ca_nat, _CT_CODEC, cb_nat, _CT_CODEC)
+    code, _ = nat.call("mul_cipheru64_cipheru64", mul_calldata)
+    assert code == 0
+    t0 = time.time()
+    for _ in range(NOP):
+        nat.call("mul_cipheru64_cipheru64", mul_calldata)
+    emit("c_abi_native_mul_per_sec", NOP / (time.time() - t0),
+         "ops/s/host-core")
+
+
 def main():
     quick = "--quick" in sys.argv
     import jax
@@ -116,6 +203,47 @@ def main():
             codec_rate = row["value"]
     if codec_rate is None:
         log(f"codec-only subprocess failed: {sub.stderr[-400:]}")
+
+    # ---- ALL remaining host-CPU rows, same fresh-process rule ---------
+    # (native engine + C-ABI rows, then the virtual-mesh scaling
+    # subprocesses): measured before this process opens the TPU client,
+    # for the same reason as the codec rows above.
+    sub = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--host-rows"]
+        + (["--quick"] if quick else []),
+        capture_output=True, text=True, timeout=1800)
+    got_host = False
+    for line in sub.stdout.splitlines():
+        try:
+            row = json.loads(line)
+        except ValueError:
+            continue
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        got_host = True
+    if not got_host:
+        log(f"host-rows subprocess failed: {sub.stderr[-400:]}")
+
+    # dp1/2/4/8 + the 2-process Gloo run; on by default so the cpu_mesh_*
+    # rows the methodology notes describe are actually in the table
+    # (opt out with --no-scaling on hosts without the CPU headroom).
+    if "--no-scaling" not in sys.argv:
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        for cmd in (["--cpu", "--devices", "8"],
+                    ["--multiprocess", "2", "--devices-per-proc", "4"]):
+            out = subprocess.run(
+                [sys.executable, os.path.join(here, "scaling.py")] + cmd,
+                env=env, capture_output=True, text=True, timeout=900)
+            for line in out.stdout.splitlines():
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    continue
+                row["metric"] = "cpu_mesh_" + row["metric"]
+                results.append(row)
+                print(json.dumps(row), flush=True)
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
@@ -284,112 +412,31 @@ def main():
         except Exception as exc:  # pragma: no cover - device dependent
             log(f"tail_roofline failed: {exc}")
 
-    # ---- host byte-path decrypt throughput (C-ABI surface) ------------
-    from fhe_precompiles_tpu import pack
-    from fhe_precompiles_tpu.app import _CT_CODEC
-    from fhe_precompiles_tpu.testnet import one as testnet_one
-    FHE = testnet_one.FHE
-    ct_u64 = ctx.encrypt(encode_unsigned(123456, TESTNET_ONE, 64),
-                         FHE.public_key, b"\x47" * 64)
-    calldata = pack.pack_one_argument(ct_u64, _CT_CODEC)
-    code, _ = FHE.call("decrypt_u64", calldata)
-    assert code == 0
-    NDEC = 5 if quick else 20
-    t0 = time.time()
-    for _ in range(NDEC):
-        FHE.call("decrypt_u64", calldata)
-    dt = (time.time() - t0) / NDEC
-    emit("byte_path_decrypt_u64_per_sec", 1.0 / dt, "ops/s/host-core")
-
-    # ---- native C++ host engine (SEAL-analog CPU validator path) ------
-    from fhe_precompiles_tpu.app import FheApp
-    napp = FheApp(TESTNET_ONE, engine="native")
-    neng = napp._engine
-    ca_nat, cb_nat = ctx.encrypt(
-        encode_unsigned(17, TESTNET_ONE, 64), FHE.public_key, b"\x11" * 64), \
-        ctx.encrypt(encode_unsigned(4, TESTNET_ONE, 64),
-                    FHE.public_key, b"\x22" * 64)
-    NOP = 10 if quick else 50
-    neng.mul_relin(ca_nat, cb_nat, FHE.public_key.relin)
-    t0 = time.time()
-    for _ in range(NOP):
-        neng.mul_relin(ca_nat, cb_nat, FHE.public_key.relin)
-    emit("native_mul_relin_per_sec", NOP / (time.time() - t0),
-         "ops/s/host-core")
-    t0 = time.time()
-    for _ in range(NOP):
-        neng.decrypt(ca_nat, FHE.private_key)
-    emit("native_decrypt_per_sec", NOP / (time.time() - t0),
-         "ops/s/host-core")
-    t0 = time.time()
-    for _ in range(NOP):
-        neng.encrypt(encode_unsigned(9, TESTNET_ONE, 64), FHE.public_key,
-                     b"\x33" * 64)
-    emit("native_encrypt_per_sec", NOP / (time.time() - t0),
-         "ops/s/host-core")
-    # full byte path (calldata parse -> native op -> serialize)
-    code, _ = napp.call("decrypt_u64", calldata)
-    assert code == 0
-    t0 = time.time()
-    for _ in range(NDEC):
-        napp.call("decrypt_u64", calldata)
-    emit("native_byte_path_decrypt_u64_per_sec", NDEC / (time.time() - t0),
-         "ops/s/host-core")
-
-    # ---- pure-native C ABI (libc_fhe_native.so, zero Python) ----------
-    # The deployment surface a non-Python node links; byte-identical to
-    # FheApp.call (tests/test_native_byte_path.py).
-    import subprocess as _sp
-
-    from fhe_precompiles_tpu import pack as _pack
-    from fhe_precompiles_tpu.app import _CT_CODEC as _CTC
-    from fhe_precompiles_tpu.native import _DIR as _NDIR, NativeFhe
-    _sp.run(["make", "-C", _NDIR, "libc_fhe_native.so"], check=True,
-            capture_output=True)
-    nat = NativeFhe(os.path.join(_NDIR, "libc_fhe_native.so"))
-    mul_calldata = _pack.pack_binary_operation(
-        FHE.public_key, ca_nat, _CTC, cb_nat, _CTC)
-    code, _ = nat.call("mul_cipheru64_cipheru64", mul_calldata)
-    assert code == 0
-    t0 = time.time()
-    for _ in range(NOP):
-        nat.call("mul_cipheru64_cipheru64", mul_calldata)
-    emit("c_abi_native_mul_per_sec", NOP / (time.time() - t0),
-         "ops/s/host-core")
-
-    # ---- distributed rows (subprocesses on the virtual CPU mesh) ------
-    # dp1/2/4/8 + the 2-process Gloo run; on by default so the cpu_mesh_*
-    # rows the methodology notes describe are actually in the table
-    # (opt out with --no-scaling on hosts without the CPU headroom).
-    if "--no-scaling" not in sys.argv:
-        import subprocess
-        here = os.path.dirname(os.path.abspath(__file__))
-        env = dict(os.environ)
-        env.pop("PALLAS_AXON_POOL_IPS", None)
-        env["JAX_PLATFORMS"] = "cpu"
-        for cmd in (["--cpu", "--devices", "8"],
-                    ["--multiprocess", "2", "--devices-per-proc", "4"]):
-            out = subprocess.run(
-                [sys.executable, os.path.join(here, "scaling.py")] + cmd,
-                env=env, capture_output=True, text=True, timeout=900)
-            for line in out.stdout.splitlines():
-                try:
-                    row = json.loads(line)
-                except ValueError:
-                    continue
-                row["metric"] = "cpu_mesh_" + row["metric"]
-                results.append(row)
-                print(json.dumps(row), flush=True)
-
     # ---- write RESULTS.md --------------------------------------------
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "RESULTS.md")
+    # group the table: device rows, serving/byte rows, diagnostics,
+    # host-core rows, virtual-mesh rows (stable within each group —
+    # measurement ORDER is host-rows-first, see the methodology note)
+    def _group(r):
+        m, u = r["metric"], r["unit"]
+        if m.startswith("cpu_mesh_"):
+            return 4
+        if u in ("ops/s/chip", "transforms/s/chip", "slot-ops/s/chip"):
+            return 0
+        if m.startswith(("byte_codec_", "byte_server_")) or u in (
+                "reqs/s/host", "ops/s/host", "x", "ops/s/host+chip"):
+            return 1
+        if u == "ops/s/host-core":
+            return 3
+        return 2
+
     with open(out_path, "w") as f:
         f.write("# Benchmark results (canonical; regenerate with "
                 "`python benchmarks/report.py`)\n\n")
         f.write(f"Device: {dev.platform} {dev.device_kind}\n\n")
         f.write("| Metric | Value | Unit |\n|---|---|---|\n")
-        for r in results:
+        for r in sorted(results, key=_group):
             f.write(f"| {r['metric']} | {r['value']:,} | {r['unit']} |\n")
         tail = [r for r in results if r["metric"].startswith("tail_")]
         if tail:
@@ -460,6 +507,12 @@ def main():
             " two operands' forward transforms and reads ~45% higher (kept"
             " as the separate _square_ row; round 1's 8,702 figure was"
             " squaring-based).\n"
+            "* ALL host-CPU rows (byte_codec_*, *host-core* rows, and the"
+            " cpu_mesh_* subprocesses) are measured FIRST, in fresh"
+            " processes, before this report opens the TPU client: a"
+            " process that has pushed tunnel traffic (or co-runs with"
+            " one) measures host-core rates up to ~3x low — its resident"
+            " transfer threads contend for the 4 physical CPUs.\n"
             "* cpu_mesh_* rows run on virtual CPU devices sharing physical"
             " cores: they validate the sharded program and multi-process"
             " plumbing (the 2-process Gloo row vs the single-process dp8"
@@ -506,4 +559,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--host-rows" in sys.argv:
+        # fresh-process host-CPU rows (no JAX, no TPU): see host_rows()
+        def _emit(metric, value, unit, baseline=None):
+            print(json.dumps({"metric": metric, "value": round(value, 2),
+                              "unit": unit}), flush=True)
+        host_rows(_emit, quick="--quick" in sys.argv)
+    else:
+        main()

@@ -187,13 +187,13 @@ def main():
                 return jnp.sum(y)
             return f
 
-        # best-of-3 interleaved per K (see _worker: single-shot slopes on
+        # best-of-5 interleaved per K (see _worker: single-shot slopes on
         # oversubscribed virtual devices can go negative)
         fns = {K: make(K) for K in (2, 10)}
         times = {K: [] for K in fns}
         for f in fns.values():
             np.asarray(f(a, rk))
-        for _ in range(3):
+        for _ in range(5):
             for K, f in fns.items():
                 t0 = time.time()
                 np.asarray(f(a, rk))

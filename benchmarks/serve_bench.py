@@ -108,6 +108,21 @@ def run(emit, quick: bool = False, device_rate: float | None = None,
         codec_rate = NSRV / (dt_dec + dt_enc)
         emit("byte_codec_native_roundtrip_per_sec", codec_rate,
              "reqs/s/host")
+
+        # single-thread roundtrip: per-request host-codec latency, and
+        # (vs the threaded row) the thread-scaling evidence behind
+        # "host cores are the serving lever"
+        N1 = max(32, NSRV // 8)
+        t0 = time.time()
+        for _, d in reqs[:N1]:
+            decode_only(d)
+        for o in outs[:N1]:
+            cod.pack_ciphertext(o)
+        dt_1 = time.time() - t0
+        emit("byte_codec_native_roundtrip_1thread_per_sec", N1 / dt_1,
+             "reqs/s/core")
+        emit("byte_codec_native_thread_scaling",
+             codec_rate / (N1 / dt_1 * workers), "fraction")
     if codec_only:
         return codec_rate
 
