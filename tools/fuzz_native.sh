@@ -6,12 +6,14 @@
 # native/fuzz_native.cpp (the harness TU itself is NOT instrumented — the
 # bitmap sees only library edges, and the trace callback cannot recurse).
 #
-# Usage: tools/fuzz_native.sh [--ci]     (--ci: 60 s budget; default 300 s)
+# Usage: tools/fuzz_native.sh [--ci | SECONDS]
+#        --ci: 60 s budget; a number: that many seconds; default 300 s
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 BUDGET=300
 [[ "${1:-}" == "--ci" ]] && BUDGET=60
+[[ "${1:-}" =~ ^[0-9]+$ ]] && BUDGET=$1
 
 ND=fhe_precompiles_tpu/native
 BUILD=$ND/fuzz_build
