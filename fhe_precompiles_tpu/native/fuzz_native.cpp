@@ -36,6 +36,108 @@ static const fhe_fn FNS[] = {FHE_PRECOMPILE_LIST(FUZZ_ENTRY)};
 #undef FUZZ_ENTRY
 static const size_t NFNS = sizeof(FNS) / sizeof(FNS[0]);
 
+// ---- batched-codec (fhe_tpu_*) targets ---------------------------------
+// The ByteServer host frontend parses the SAME untrusted calldata through
+// a second code path (decode split from compute, pk handles,
+// reencrypt-finish re-encode): selector values >= NFNS route there.
+// input[1] picks the op/type name; calldata starts at input[2] (families
+// taking a name) or input[1] (families that don't).
+static const size_t NTPU = 7;
+static const char* TPU_TNAMES[4] = {"u256", "u64", "i64", "frac64"};
+static char g_bin_names[36][48];
+static uint64_t g_n, g_kct, g_kkey, g_t;
+static uint64_t *g_ct3, *g_other, *g_rk, *g_poly, *g_m, *g_pkbuf;
+static bool g_tpu_ready = false;
+
+static void tpu_init() {
+  static bool tried = false;
+  if (tried) return;
+  tried = true;
+  if (fhe_tpu_params(&g_n, &g_kct, &g_kkey, &g_t) != 0) return;
+  const char* OPS[3] = {"add", "sub", "mul"};
+  size_t idx = 0;
+  for (int o = 0; o < 3; ++o)
+    for (int ty = 0; ty < 4; ++ty) {
+      const char* t = TPU_TNAMES[ty];
+      snprintf(g_bin_names[idx++], 48, "%s_cipher%s_cipher%s", OPS[o], t, t);
+      snprintf(g_bin_names[idx++], 48, "%s_cipher%s_%s", OPS[o], t, t);
+      snprintf(g_bin_names[idx++], 48, "%s_%s_cipher%s", OPS[o], t, t);
+    }
+  g_ct3 = (uint64_t*)calloc(3 * g_kct * g_n, 8);
+  g_other = (uint64_t*)calloc(2 * g_kct * g_n, 8);
+  g_rk = (uint64_t*)calloc(g_kct * 2 * g_kkey * g_n, 8);
+  g_poly = (uint64_t*)calloc(g_n, 8);
+  g_m = (uint64_t*)calloc(g_n, 8);
+  g_pkbuf = (uint64_t*)calloc(2 * g_kkey * g_n, 8);
+  g_tpu_ready = g_ct3 && g_other && g_rk && g_poly && g_m && g_pkbuf;
+}
+
+static void fill_poly(uint64_t* dst, size_t count,
+                      const std::vector<uint8_t>& in, size_t off) {
+  size_t src = in.size() > off ? in.size() - off : 0;
+  for (size_t i = 0; i < count; ++i)
+    dst[i] = src ? (uint64_t)in[off + (i % src)] * 0x0101010101ULL : 0;
+}
+
+static void touch_pk(void* pk) {  // exercise every handle accessor
+  uint64_t id;
+  fhe_tpu_pk_id(pk, &id);
+  fhe_tpu_pk_relin(pk, g_rk);
+  fhe_tpu_pk_data(pk, g_pkbuf);
+  fhe_tpu_pk_release(pk);
+}
+
+static void run_tpu(size_t family, const std::vector<uint8_t>& in) {
+  tpu_init();
+  if (!g_tpu_ready) return;
+  uint8_t sub = in.size() > 1 ? in[1] : 0;
+  const uint8_t* d2 = in.size() > 2 ? in.data() + 2 : nullptr;
+  size_t l2 = in.size() > 2 ? in.size() - 2 : 0;
+  const uint8_t* d1 = in.size() > 1 ? in.data() + 1 : nullptr;
+  size_t l1 = in.size() > 1 ? in.size() - 1 : 0;
+  uint8_t* out = nullptr;
+  int64_t out_len = 0;
+  uint8_t seed[64];
+  uint64_t ct_size = 0, other_size = 0;
+  int32_t shape = 0, op = 0;
+  void* pk = nullptr;
+  switch (family) {
+    case 0:
+      if (fhe_tpu_unpack_binary(g_bin_names[sub % 36], d2, l2, g_ct3,
+                                g_other, &shape, &op, &ct_size, &other_size,
+                                &pk) == 0)
+        touch_pk(pk);
+      break;
+    case 1:
+      fhe_tpu_unpack_encrypt(TPU_TNAMES[sub % 4], d2, l2, g_m, seed);
+      break;
+    case 2:
+      fhe_tpu_unpack_decrypt(d1, l1, g_ct3, &ct_size);
+      break;
+    case 3:
+      if (fhe_tpu_unpack_reencrypt(d1, l1, g_ct3, &ct_size, &pk) == 0)
+        touch_pk(pk);
+      break;
+    case 4:
+      fill_poly(g_poly, g_n, in, 2);
+      fhe_tpu_reencrypt_finish(TPU_TNAMES[sub % 4], d2, l2, g_poly, g_m,
+                               seed);
+      break;
+    case 5:
+      fill_poly(g_poly, g_n, in, 2);
+      if (fhe_tpu_decode_scalar(TPU_TNAMES[sub % 4], g_poly, &out,
+                                &out_len) == 0 && out)
+        fhe_free(out);
+      break;
+    case 6:
+      fill_poly(g_ct3, 3 * g_kct * g_n, in, 2);
+      if (fhe_tpu_pack_ciphertext(g_ct3, 2 + (sub & 1), &out,
+                                  &out_len) == 0 && out)
+        fhe_free(out);
+      break;
+  }
+}
+
 // ---- AFL-style edge coverage via -fsanitize-coverage=trace-pc ----------
 static const size_t MAP_BITS = 16;
 static const size_t MAP_SIZE = 1u << MAP_BITS;
@@ -69,11 +171,16 @@ static size_t coverage_count() {
 // ---- execution ----------------------------------------------------------
 static void run_one(const std::vector<uint8_t>& input) {
   if (input.empty()) return;
-  fhe_fn fn = FNS[input[0] % NFNS];
-  uint8_t* out = nullptr;
-  int64_t out_len = 0;
+  size_t sel = input[0] % (NFNS + NTPU);
   memset(g_local, 0, MAP_SIZE);
   g_prev_pc = 0;
+  if (sel >= NFNS) {
+    run_tpu(sel - NFNS, input);
+    return;
+  }
+  fhe_fn fn = FNS[sel];
+  uint8_t* out = nullptr;
+  int64_t out_len = 0;
   int32_t code = fn(input.data() + 1, input.size() - 1, &out, &out_len);
   if (code == 0 && out != nullptr) fhe_free(out);
 }

@@ -96,6 +96,31 @@ def main():
           "seal_header")
     write("decrypt_u64", b"\x28\xb5\x2f\xfd" + b"\x00" * 24, "zstd_magic")
 
+    # ---- batched-codec (fhe_tpu_*) family seeds ------------------------
+    # Harness selector byte = 49 + family (fuzz_native.cpp run_tpu);
+    # families taking a name read input[1] as the sub-selector into the
+    # harness's (op-outer, type-inner, shape-inner) 36-name table:
+    # idx = (op*4 + type)*3 + shape with type order u256,u64,i64,frac64.
+    def write_tpu(family, body, label):
+        with open(os.path.join(out_dir, f"seed_tpu_{label}.bin"),
+                  "wb") as f:
+            f.write(bytes([49 + family]) + body)
+
+    mul_cc = pack.pack_binary_operation(pk, a, _CT_CODEC, b, _CT_CODEC)
+    cp_add = pack.pack_binary_operation(pk, ct(2.5, "frac64", b"c"),
+                                        _CT_CODEC, 0.25, pack.FRAC64)
+    write_tpu(0, bytes([(2 * 4 + 1) * 3 + 0]) + mul_cc, "binary_mul_cc")
+    write_tpu(0, bytes([(0 * 4 + 3) * 3 + 1]) + cp_add, "binary_add_cp")
+    write_tpu(1, bytes([0]) + pack.pack_two_arguments(9, pack.U256, b"pd",
+                                                      pack.BYTES),
+              "encrypt_u256")
+    write_tpu(2, pack.pack_one_argument(a, _CT_CODEC), "decrypt")
+    reenc = pack.pack_binary_operation(pk, a, _CT_CODEC, b"rd", pack.BYTES)
+    write_tpu(3, reenc, "reencrypt")
+    write_tpu(4, bytes([1]) + reenc, "reencrypt_finish")
+    write_tpu(5, bytes([1]) + b"\x00\x01\x02\x03" * 8, "decode_scalar")
+    write_tpu(6, bytes([0]) + b"\x05" * 16, "pack_ct")
+
     # replay the checked-in coverage finds (native/fuzz_seeds/) so every
     # run starts from the accumulated interesting-input set
     seeds_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
