@@ -175,6 +175,51 @@ static void *worker(void *arg) {
   return NULL;
 }
 
+/* The batched-codec path ByteServer worker threads actually run:
+ * fhe_tpu_unpack_binary hands out REFCOUNTED pk handles from a shared
+ * parse cache; pk_id/pk_relin/pk_data/release and pack_ciphertext all
+ * run concurrently against the same cache entry. */
+static uint64_t g_n, g_kct, g_kkey, g_t;
+
+static void *tpu_worker(void *arg) {
+  long id = (long)arg;
+  uint64_t *ct = malloc(2 * g_kct * g_n * 8);
+  uint64_t *other = malloc(2 * g_kct * g_n * 8);
+  uint64_t *rk = malloc(g_kct * 2 * g_kkey * g_n * 8);
+  uint64_t *pkb = malloc(2 * g_kkey * g_n * 8);
+  uint32_t off1 = 8 + (uint32_t)g_pk_len;
+  uint32_t off2 = off1 + (uint32_t)g_ct_len[id];
+  size_t len = (size_t)off2 + (size_t)g_ct_len[(id + 1) % 4];
+  uint8_t *buf = malloc(len);
+  buf[0]=off1>>24; buf[1]=off1>>16; buf[2]=off1>>8; buf[3]=off1;
+  buf[4]=off2>>24; buf[5]=off2>>16; buf[6]=off2>>8; buf[7]=off2;
+  memcpy(buf + 8, g_pk, g_pk_len);
+  memcpy(buf + off1, g_ct[id], g_ct_len[id]);
+  memcpy(buf + off2, g_ct[(id + 1) % 4], g_ct_len[(id + 1) % 4]);
+  for (int round = 0; round < 4; ++round) {
+    int32_t shape, op; uint64_t cs, os; void *pk = NULL;
+    int32_t code = fhe_tpu_unpack_binary("mul_cipheru64_cipheru64", buf,
+                                         len, ct, other, &shape, &op,
+                                         &cs, &os, &pk);
+    if (code != 0) { fprintf(stderr, "tpu unpack %d\n", code); exit(1); }
+    uint64_t kid;
+    fhe_tpu_pk_id(pk, &kid);
+    fhe_tpu_pk_relin(pk, rk);
+    fhe_tpu_pk_data(pk, pkb);
+    fhe_tpu_pk_release(pk);
+    uint8_t *out = NULL; int64_t out_len = 0;
+    if (fhe_tpu_pack_ciphertext(ct, 2, &out, &out_len) != 0) exit(1);
+    fhe_free(out);
+    uint8_t in13[13], seed[64]; enc_input(40 + id, in13);
+    uint64_t *m = other;  /* reuse, (n,) fits */
+    if (fhe_tpu_unpack_encrypt("u64", in13, 13, m, seed) != 0) exit(1);
+    if (fhe_tpu_decode_scalar("u64", m, &out, &out_len) != 0) exit(1);
+    fhe_free(out);
+  }
+  free(ct); free(other); free(rk); free(pkb); free(buf);
+  return NULL;
+}
+
 int main(void) {
   if (c_fhe_public_key_bytes(NULL, 0, &g_pk, &g_pk_len) != 0) return 1;
   for (long i = 0; i < 4; ++i) {
@@ -183,6 +228,10 @@ int main(void) {
   }
   pthread_t th[4];
   for (long i = 0; i < 4; ++i) pthread_create(&th[i], NULL, worker, (void *)i);
+  for (long i = 0; i < 4; ++i) pthread_join(th[i], NULL);
+  if (fhe_tpu_params(&g_n, &g_kct, &g_kkey, &g_t) != 0) return 1;
+  for (long i = 0; i < 4; ++i)
+    pthread_create(&th[i], NULL, tpu_worker, (void *)i);
   for (long i = 0; i < 4; ++i) pthread_join(th[i], NULL);
   printf("TSAN DRIVE PASSED\n");
   return 0;
