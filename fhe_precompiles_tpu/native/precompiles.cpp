@@ -593,13 +593,25 @@ static void unpack_header(const u8* d, size_t len, size_t off, u64* size,
 }
 
 // zstd contexts are ~MB workspaces; cache per thread (seal.py:67-86).
+// RAII holders, NOT bare thread_local pointers: short-lived worker
+// threads (one pool per ByteServer.run once leaked ~2 MB per thread in
+// never-freed contexts — measured as ~4 MB/window RSS growth in the
+// serving soak test).
+struct TlsCCtx {
+  ZSTD_CCtx* p = ZSTD_createCCtx();
+  ~TlsCCtx() { ZSTD_freeCCtx(p); }
+};
+struct TlsDCtx {
+  ZSTD_DCtx* p = ZSTD_createDCtx();
+  ~TlsDCtx() { ZSTD_freeDCtx(p); }
+};
 static ZSTD_CCtx* tls_cctx() {
-  thread_local ZSTD_CCtx* c = ZSTD_createCCtx();
-  return c;
+  thread_local TlsCCtx c;
+  return c.p;
 }
 static ZSTD_DCtx* tls_dctx() {
-  thread_local ZSTD_DCtx* c = ZSTD_createDCtx();
-  return c;
+  thread_local TlsDCtx c;
+  return c.p;
 }
 
 static std::vector<u8> wrap_stream(const std::vector<u8>& payload,
@@ -665,7 +677,8 @@ static size_t unpack_dynarray(const u8* d, size_t len, size_t off,
   if (count > (len - start) / 8) enc_err();  // "DynArray truncated"
   size_t end = start + 8 * (size_t)count;
   out->resize((size_t)count);
-  std::memcpy(out->data(), d + start, 8 * (size_t)count);
+  if (count)  // count==0: vector data() may be null (zero-len memcpy is UB)
+    std::memcpy(out->data(), d + start, 8 * (size_t)count);
   return end;
 }
 
@@ -1818,7 +1831,7 @@ static int32_t run_precompile(const char* name, const u8* bytes,
     std::vector<u8> out = dispatch(a, name, bytes, bytes_length);
     u8* buf = (u8*)std::malloc(out.empty() ? 1 : out.size());
     if (!buf) return 7;
-    std::memcpy(buf, out.data(), out.size());
+    if (!out.empty()) std::memcpy(buf, out.data(), out.size());
     *output = buf;
     *output_length = (i64)out.size();
     return 0;
@@ -1991,7 +2004,7 @@ static int32_t tpu_pack_ciphertext(const u64* data, u64 size, u8** out,
     std::vector<u8> bytes = save_ciphertext(a->params, size, v);
     u8* buf = (u8*)std::malloc(bytes.empty() ? 1 : bytes.size());
     if (!buf) return 7;
-    std::memcpy(buf, bytes.data(), bytes.size());
+    if (!bytes.empty()) std::memcpy(buf, bytes.data(), bytes.size());
     *out = buf;
     *out_len = (i64)bytes.size();
     return 0;

@@ -34,6 +34,7 @@ one device-resident relin key.
 """
 from __future__ import annotations
 
+import contextlib
 import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Sequence, Tuple
@@ -113,6 +114,20 @@ class ByteServer:
             self.codec = None
         else:
             raise ValueError(f"unknown codec {codec!r}")
+        # ONE worker pool for the server's lifetime: a pool per run() would
+        # spawn fresh OS threads every window, each paying thread-local
+        # codec state (zstd contexts, scratch) again
+        self._pool = ThreadPoolExecutor(max_workers=self.workers)
+
+    def close(self) -> None:
+        """Shut down the worker pool (idempotent)."""
+        self._pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     # ------------------------------------------------------------------
     def _decode_cc(self, name: str, data: bytes):
@@ -229,7 +244,8 @@ class ByteServer:
             i, tname, poly = job
             return i, cod.decode_scalar(tname, poly)
 
-        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+        # one shared pool for the server's lifetime (see __init__)
+        with contextlib.nullcontext(self._pool) as pool:
             futs = [pool.submit(decode, i) for i in windows[0]]
             for w in range(len(windows)):
                 decoded = [f.result() for f in futs]
@@ -399,7 +415,7 @@ class ByteServer:
                 return i, "fallback", None
             return i, "batch", (op, pk, a, b)
 
-        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+        with contextlib.nullcontext(self._pool) as pool:
             for i, kind, payload in pool.map(decode, range(n_req)):
                 if kind == "err":
                     results[i] = (payload, b"")
