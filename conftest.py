@@ -73,6 +73,9 @@ _SMOKE_PATTERNS = [
     # sharding on the virtual mesh + batched serving
     "test_parallel.py::test_stream_unsharded_vs_sharded_bitexact",
     ("test_serve.py::test_byte_server_matches_fheapp_call", "native"),
+    # serving soak: RSS must stay flat over sustained windows (caught the
+    # thread_local zstd-context leak)
+    "test_serve_soak.py::test_byte_server_native_soak",
 ]
 
 
