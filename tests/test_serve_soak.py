@@ -52,6 +52,32 @@ def test_byte_server_native_soak():
     expected = [app.call(name, data) for name, data in reqs]
     assert server.run(reqs) == expected  # warm: batch-shape compiles
 
+    # Prime EVERY pool thread's codec state deterministically: each
+    # worker builds its zstd contexts (~3.5 MB) on first use, and which
+    # threads have compressed yet is scheduling-dependent — without this
+    # the plateau drifts in at 32 threads x ~3.5 MB and looks like a leak.
+    import threading
+    barrier = threading.Barrier(server.workers)
+    out_arr = __import__("numpy").asarray(
+        FHE.ctx.mul_relin(a, b, pk1.relin).data)
+    mul_data = reqs[2][1]
+
+    def prime():
+        barrier.wait()  # hold every worker so each takes exactly one task
+        server.codec.pack_ciphertext(out_arr)           # CCtx
+        server.codec.unpack_binary("mul_cipheru64_cipheru64",
+                                   mul_data)[7].release()  # DCtx
+        barrier.wait()
+
+    for f in [server._pool.submit(prime) for _ in range(server.workers)]:
+        f.result()
+
+    # reach the steady state before baselining: the first couple of
+    # windows still grow tens of MB one-time (per-thread glibc arenas,
+    # remaining engine/cache state); the plateau is flat from there
+    for _ in range(3):
+        assert server.run(reqs) == expected
+
     gc.collect()
     rss0 = _vmrss_kb()
     for _ in range(8):
