@@ -10,6 +10,9 @@ noise on identical, already-warm windows.
 """
 import gc
 import hashlib
+import threading
+
+import numpy as np
 
 from fhe_precompiles_tpu import FheApp, pack
 from fhe_precompiles_tpu.app import _CT_CODEC
@@ -56,10 +59,8 @@ def test_byte_server_native_soak():
     # worker builds its zstd contexts (~3.5 MB) on first use, and which
     # threads have compressed yet is scheduling-dependent — without this
     # the plateau drifts in at 32 threads x ~3.5 MB and looks like a leak.
-    import threading
     barrier = threading.Barrier(server.workers)
-    out_arr = __import__("numpy").asarray(
-        FHE.ctx.mul_relin(a, b, pk1.relin).data)
+    out_arr = np.asarray(FHE.ctx.mul_relin(a, b, pk1.relin).data)
     mul_data = reqs[2][1]
 
     def prime():
