@@ -76,6 +76,8 @@ _SMOKE_PATTERNS = [
     # serving soak: RSS must stay flat over sustained windows (caught the
     # thread_local zstd-context leak)
     "test_serve_soak.py::test_byte_server_native_soak",
+    # runtime zstd dispatch: consensus-byte pins across library swaps
+    "test_zstd_dispatch.py",
 ]
 
 

@@ -125,7 +125,32 @@ class NativeCodec:
         lib.fhe_tpu_pk_data.restype = c_int32
         lib.fhe_free.argtypes = [c_void_p]
         lib.fhe_free.restype = None
+        lib.fhe_tpu_use_libzstd.argtypes = [c_char_p]
+        lib.fhe_tpu_use_libzstd.restype = c_int32
         self.lib = lib
+
+        # The encode half is zstd-floor-bound and the system libzstd 1.5.4
+        # build is ~1.45x slower than python-zstandard's embedded 1.5.7;
+        # probe the faster build (byte-verified in C against the linked
+        # library before the dispatch swaps — a mismatching candidate is
+        # rejected and the linked library stays).  FHE_TPU_LIBZSTD=<path>
+        # overrides the probe; =system disables it.
+        self.zstd_source = "system"
+        probe = os.environ.get("FHE_TPU_LIBZSTD")
+        if probe != "system":
+            cands = [probe] if probe else []
+            if not probe:
+                try:
+                    import importlib.util
+                    spec = importlib.util.find_spec("zstandard._cffi")
+                    if spec is not None and spec.origin:
+                        cands.append(spec.origin)
+                except Exception:
+                    pass
+            for cand in cands:
+                if cand and lib.fhe_tpu_use_libzstd(cand.encode()) == 0:
+                    self.zstd_source = cand
+                    break
 
         pub = app._public_key_bytes
         pri = keyio.save_private_key(app.private_key)

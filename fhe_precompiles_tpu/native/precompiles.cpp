@@ -33,6 +33,7 @@
 #include "c_fhe.h"  // the public 51-symbol surface (prototypes + X-macro)
 
 #include <array>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -592,37 +593,83 @@ static void unpack_header(const u8* d, size_t len, size_t off, u64* size,
   std::memcpy(size, d + off + 8, 8);
 }
 
+// Runtime-selectable zstd build.  The image's system libzstd (1.5.4) runs
+// the level-3 compress of a ~131 KB ciphertext payload ~1.45x slower than
+// the 1.5.7 builds shipped inside Python wheels; the frames are
+// byte-identical at level 3 either way (pinned by tests).  Since the
+// encode side of the serving codec is zstd-floor-bound, the codec lets an
+// operator (or NativeCodec's automatic probe of python-zstandard's _cffi
+// extension) swap in a faster library at runtime — but ONLY after
+// byte-verifying its frames against the linked library on probe payloads:
+// the compressed bytes are consensus-critical, so a candidate that
+// compresses differently is rejected, never trusted.
+struct ZstdApi {
+  ZSTD_CCtx* (*createCCtx)(void);
+  size_t (*freeCCtx)(ZSTD_CCtx*);
+  size_t (*compressCCtx)(ZSTD_CCtx*, void*, size_t, const void*, size_t,
+                         int);
+  ZSTD_DCtx* (*createDCtx)(void);
+  size_t (*freeDCtx)(ZSTD_DCtx*);
+  size_t (*decompressDCtx)(ZSTD_DCtx*, void*, size_t, const void*, size_t);
+  unsigned long long (*getFrameContentSize)(const void*, size_t);
+  unsigned (*isError)(size_t);
+  size_t (*compressBound)(size_t);
+};
+static const ZstdApi LINKED_ZSTD = {
+    ZSTD_createCCtx,      ZSTD_freeCCtx, ZSTD_compressCCtx,
+    ZSTD_createDCtx,      ZSTD_freeDCtx, ZSTD_decompressDCtx,
+    ZSTD_getFrameContentSize, ZSTD_isError, ZSTD_compressBound};
+static std::atomic<const ZstdApi*> g_zstd{&LINKED_ZSTD};
+
 // zstd contexts are ~MB workspaces; cache per thread (seal.py:67-86).
 // RAII holders, NOT bare thread_local pointers: short-lived worker
 // threads (one pool per ByteServer.run once leaked ~2 MB per thread in
 // never-freed contexts — measured as ~4 MB/window RSS growth in the
-// serving soak test).
+// serving soak test).  Each holder captures the API it created its
+// context with, so a swap never frees a context with the other library.
 struct TlsCCtx {
-  ZSTD_CCtx* p = ZSTD_createCCtx();
-  ~TlsCCtx() { ZSTD_freeCCtx(p); }
+  const ZstdApi* api = g_zstd.load(std::memory_order_acquire);
+  ZSTD_CCtx* p = api->createCCtx();
+  ~TlsCCtx() { api->freeCCtx(p); }
 };
 struct TlsDCtx {
-  ZSTD_DCtx* p = ZSTD_createDCtx();
-  ~TlsDCtx() { ZSTD_freeDCtx(p); }
+  const ZstdApi* api = g_zstd.load(std::memory_order_acquire);
+  ZSTD_DCtx* p = api->createDCtx();
+  ~TlsDCtx() { api->freeDCtx(p); }
 };
-static ZSTD_CCtx* tls_cctx() {
+static TlsCCtx& tls_cctx() {
   thread_local TlsCCtx c;
-  return c.p;
+  // follow a swap immediately (one atomic load per call): rebuild this
+  // thread's context with the now-active library
+  const ZstdApi* cur = g_zstd.load(std::memory_order_acquire);
+  if (cur != c.api) {
+    c.api->freeCCtx(c.p);
+    c.api = cur;
+    c.p = cur->createCCtx();
+  }
+  return c;
 }
-static ZSTD_DCtx* tls_dctx() {
+static TlsDCtx& tls_dctx() {
   thread_local TlsDCtx c;
-  return c.p;
+  const ZstdApi* cur = g_zstd.load(std::memory_order_acquire);
+  if (cur != c.api) {
+    c.api->freeDCtx(c.p);
+    c.api = cur;
+    c.p = cur->createDCtx();
+  }
+  return c;
 }
 
 static std::vector<u8> wrap_stream(const std::vector<u8>& payload,
                                    bool compress = true) {
   Writer w;
   if (compress) {
-    size_t bound = ZSTD_compressBound(payload.size());
+    TlsCCtx& c = tls_cctx();
+    size_t bound = c.api->compressBound(payload.size());
     std::vector<u8> body(bound);
-    size_t r = ZSTD_compressCCtx(tls_cctx(), body.data(), bound,
-                                 payload.data(), payload.size(), 3);
-    if (ZSTD_isError(r)) throw GenericErr{};
+    size_t r = c.api->compressCCtx(c.p, body.data(), bound, payload.data(),
+                                   payload.size(), 3);
+    if (c.api->isError(r)) throw GenericErr{};
     body.resize(r);
     pack_header(w, HEADER_SIZE + body.size(), COMPR_ZSTD);
     w.raw(body.data(), body.size());
@@ -641,18 +688,121 @@ static std::vector<u8> unwrap_stream(const u8* d, size_t len) {
   const u8* body = d + HEADER_SIZE;
   size_t body_len = len - HEADER_SIZE;
   if (compr == COMPR_ZSTD) {
-    unsigned long long csize = ZSTD_getFrameContentSize(body, body_len);
+    TlsDCtx& dc = tls_dctx();
+    unsigned long long csize = dc.api->getFrameContentSize(body, body_len);
     if (csize == ZSTD_CONTENTSIZE_ERROR || csize == ZSTD_CONTENTSIZE_UNKNOWN ||
         csize > (1ULL << 30))
       enc_err();  // zstd failures -> invalid encoding (seal.py:107-111)
     std::vector<u8> out((size_t)csize);
-    size_t r = ZSTD_decompressDCtx(tls_dctx(), out.data(), out.size(), body,
-                                   body_len);
-    if (ZSTD_isError(r) || r != out.size()) enc_err();
+    size_t r = dc.api->decompressDCtx(dc.p, out.data(), out.size(), body,
+                                      body_len);
+    if (dc.api->isError(r) || r != out.size()) enc_err();
     return out;
   }
   if (compr == COMPR_NONE) return std::vector<u8>(body, body + body_len);
   enc_err();  // unsupported compression mode
+}
+
+// Probe-verify a candidate zstd library and swap the dispatch table on
+// exact byte match.  Returns 0 ok, 1 dlopen failure, 2 missing symbols,
+// 3 frame/roundtrip mismatch.  path == NULL or "system" restores the
+// linked library.  Call at init, before worker threads, though a
+// mid-flight swap is safe too (live holders keep their captured API; the
+// dlopen handle is never closed).
+static int32_t use_libzstd(const char* path) {
+  if (!path || std::strcmp(path, "system") == 0) {
+    g_zstd.store(&LINKED_ZSTD, std::memory_order_release);
+    return 0;
+  }
+  // DEEPBIND: zstd's internal cross-calls to its own EXPORTED functions go
+  // through the PLT; without deepbind those bind to whatever libzstd sits
+  // in the process's global scope (the slow system build, dragged in
+  // RTLD_GLOBAL by unrelated wheels), silently re-routing the candidate's
+  // hot loops — measured as the "fast" library running at system speed.
+  void* h = dlopen(path, RTLD_NOW | RTLD_LOCAL | RTLD_DEEPBIND);
+  if (!h) return 1;
+  auto cand = std::make_unique<ZstdApi>();
+  cand->createCCtx = (ZSTD_CCtx * (*)(void)) dlsym(h, "ZSTD_createCCtx");
+  cand->freeCCtx = (size_t(*)(ZSTD_CCtx*))dlsym(h, "ZSTD_freeCCtx");
+  cand->compressCCtx = (size_t(*)(ZSTD_CCtx*, void*, size_t, const void*,
+                                  size_t, int))dlsym(h, "ZSTD_compressCCtx");
+  cand->createDCtx = (ZSTD_DCtx * (*)(void)) dlsym(h, "ZSTD_createDCtx");
+  cand->freeDCtx = (size_t(*)(ZSTD_DCtx*))dlsym(h, "ZSTD_freeDCtx");
+  cand->decompressDCtx =
+      (size_t(*)(ZSTD_DCtx*, void*, size_t, const void*, size_t))dlsym(
+          h, "ZSTD_decompressDCtx");
+  cand->getFrameContentSize = (unsigned long long (*)(const void*, size_t))
+      dlsym(h, "ZSTD_getFrameContentSize");
+  cand->isError = (unsigned (*)(size_t))dlsym(h, "ZSTD_isError");
+  cand->compressBound = (size_t(*)(size_t))dlsym(h, "ZSTD_compressBound");
+  if (!cand->createCCtx || !cand->freeCCtx || !cand->compressCCtx ||
+      !cand->createDCtx || !cand->freeDCtx || !cand->decompressDCtx ||
+      !cand->getFrameContentSize || !cand->isError || !cand->compressBound) {
+    dlclose(h);
+    return 2;
+  }
+  // Probe payloads: a ciphertext-shaped one (73-byte header + uniform
+  // <2^37 residues, the dominant serving case), a short structured one,
+  // and an all-zero one (degenerate match/RLE paths).
+  std::vector<std::vector<u8>> probes;
+  {
+    std::vector<u8> p(73 + 2 * 2 * 4096 * 8, 0);
+    u64 x = 0x9e3779b97f4a7c15ULL;
+    u64* v = (u64*)(p.data() + 73);
+    for (size_t i = 0; i < 2 * 2 * 4096; ++i) {
+      x ^= x << 13;
+      x ^= x >> 7;
+      x ^= x << 17;
+      v[i] = x & ((1ULL << 37) - 1);
+    }
+    probes.push_back(std::move(p));
+  }
+  {
+    std::vector<u8> p(257);
+    for (size_t i = 0; i < p.size(); ++i) p[i] = (u8)(i * 7);
+    probes.push_back(std::move(p));
+  }
+  probes.push_back(std::vector<u8>(4096, 0));
+  ZSTD_CCtx* cc = cand->createCCtx();
+  ZSTD_DCtx* dc = cand->createDCtx();
+  ZSTD_CCtx* lc = ZSTD_createCCtx();
+  bool ok = cc && dc && lc;
+  for (const auto& p : probes) {
+    if (!ok) break;
+    size_t bound = ZSTD_compressBound(p.size());
+    std::vector<u8> got(bound), want(bound);
+    size_t rg = cand->compressCCtx(cc, got.data(), bound, p.data(), p.size(),
+                                   3);
+    size_t rw = ZSTD_compressCCtx(lc, want.data(), bound, p.data(), p.size(),
+                                  3);
+    if (cand->isError(rg) || ZSTD_isError(rw) || rg != rw ||
+        std::memcmp(got.data(), want.data(), rw) != 0) {
+      ok = false;
+      break;
+    }
+    // roundtrip + content-size through the candidate's decode half
+    if (cand->getFrameContentSize(want.data(), rw) != p.size()) {
+      ok = false;
+      break;
+    }
+    std::vector<u8> back(p.size());
+    size_t rd = cand->decompressDCtx(dc, back.data(), back.size(),
+                                     want.data(), rw);
+    if (cand->isError(rd) || rd != p.size() ||
+        (p.size() && std::memcmp(back.data(), p.data(), p.size()) != 0)) {
+      ok = false;
+      break;
+    }
+  }
+  if (cc) cand->freeCCtx(cc);
+  if (dc) cand->freeDCtx(dc);
+  if (lc) ZSTD_freeCCtx(lc);
+  if (!ok) {
+    dlclose(h);
+    return 3;
+  }
+  g_zstd.store(cand.release(), std::memory_order_release);  // h stays open
+  return 0;
 }
 
 // DynArray = nested 16-byte header (compr none) | count u64 | count * u64 LE.
@@ -2257,6 +2407,10 @@ FHE_PRECOMPILE_LIST(DEFINE_C_PRECOMPILE)
 int32_t fhe_tpu_init_keys(const uint8_t* pub, size_t pub_len,
                           const uint8_t* pri, size_t pri_len) {
   return fheabi::tpu_init_keys(pub, pub_len, pri, pri_len);
+}
+
+int32_t fhe_tpu_use_libzstd(const char* path) {
+  return fheabi::use_libzstd(path);
 }
 
 int32_t fhe_tpu_params(uint64_t* n, uint64_t* k_ct, uint64_t* k_key,
