@@ -196,7 +196,7 @@ static void *tpu_worker(void *arg) {
   memcpy(buf + 8, g_pk, g_pk_len);
   memcpy(buf + off1, g_ct[id], g_ct_len[id]);
   memcpy(buf + off2, g_ct[(id + 1) % 4], g_ct_len[(id + 1) % 4]);
-  for (int round = 0; round < 4; ++round) {
+  for (int round = 0; round < 12; ++round) {
     int32_t shape, op; uint64_t cs, os; void *pk = NULL;
     int32_t code = fhe_tpu_unpack_binary("mul_cipheru64_cipheru64", buf,
                                          len, ct, other, &shape, &op,
@@ -220,6 +220,24 @@ static void *tpu_worker(void *arg) {
   return NULL;
 }
 
+/* Race the runtime zstd dispatch swap (fhe_tpu_use_libzstd) against the
+ * codec workers: each toggle heap-installs a fresh dispatch table and
+ * every worker thread lazily rebuilds its TLS contexts — the exact
+ * interleaving a serving process hits if an operator re-points the zstd
+ * build mid-flight.  dlopen'ing the LINKED build as the "candidate"
+ * passes byte-verification trivially while exercising all of the swap
+ * machinery. */
+static const char *g_zstd_path = "/usr/lib/x86_64-linux-gnu/libzstd.so.1";
+
+static void *swapper(void *arg) {
+  (void)arg;
+  for (int i = 0; i < 30; ++i) {
+    if (fhe_tpu_use_libzstd(g_zstd_path) != 0) { fprintf(stderr, "swap\n"); exit(1); }
+    if (fhe_tpu_use_libzstd("system") != 0) { fprintf(stderr, "unswap\n"); exit(1); }
+  }
+  return NULL;
+}
+
 int main(void) {
   if (c_fhe_public_key_bytes(NULL, 0, &g_pk, &g_pk_len) != 0) return 1;
   for (long i = 0; i < 4; ++i) {
@@ -230,9 +248,15 @@ int main(void) {
   for (long i = 0; i < 4; ++i) pthread_create(&th[i], NULL, worker, (void *)i);
   for (long i = 0; i < 4; ++i) pthread_join(th[i], NULL);
   if (fhe_tpu_params(&g_n, &g_kct, &g_kkey, &g_t) != 0) return 1;
+  pthread_t sw; int have_sw = fhe_tpu_use_libzstd(g_zstd_path) == 0;
+  if (have_sw) fhe_tpu_use_libzstd("system");
   for (long i = 0; i < 4; ++i)
     pthread_create(&th[i], NULL, tpu_worker, (void *)i);
+  if (have_sw) pthread_create(&sw, NULL, swapper, NULL);
   for (long i = 0; i < 4; ++i) pthread_join(th[i], NULL);
+  if (have_sw) pthread_join(sw, NULL);
+  else fprintf(stderr, "note: zstd swap-race phase skipped (no %s)\n",
+               g_zstd_path);
   printf("TSAN DRIVE PASSED\n");
   return 0;
 }
