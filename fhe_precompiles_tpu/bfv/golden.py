@@ -297,7 +297,7 @@ class BfvContext:
 
     def _message_from_dot(self, dot: np.ndarray) -> np.ndarray:
         """CRT-compose dot residues to x in [0, q), then round(t*x/q) mod t."""
-        x = np.zeros(self.n, dtype=object)
+        x = np.zeros(dot.shape[-1], dtype=object)
         for j, p in enumerate(self.q_mods):
             y = mulmod(dot[j], np.uint64(self.q_hat_inv[j]), p).astype(object)
             x += y * self.q_hat[j]

@@ -24,11 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bfv.golden import BfvContext, Ciphertext, PublicKey, RelinKeys
-from ..bfv.modmath import invmod
 from ..params import Params
 from ..sampling import (Blake2Xof, DOMAIN_ERROR, DOMAIN_TERNARY, sample_cbd,
                         sample_ternary)
-from .modmath import (addmod, barrett_mu, barrett_reduce, csub_reduce, mulmod,
+from .modmath import (addmod, barrett_mu, csub_reduce, mulmod,
                       mulmod_shoup, negmod, shoup_precompute, submod)
 from .ntt import build_tables, intt, ntt
 
@@ -227,28 +226,15 @@ class JaxEngine:
             np.array(g.prod_B_mod_q).reshape(k, 1),
             np.array(g.q_mods).reshape(k, 1))
 
-        # ---- RNS decryption constants (t-gamma scale-and-round) ------
-        gamma = params.gamma
-        self.gamma = gamma
-        t = params.t
-        # |gamma*t|_{q_i} folded with q_hat_inv_i into one scalar per limb
-        gt_qhinv = np.array(
-            [(gamma * t % p) * g.q_hat_inv[i] % p
-             for i, p in enumerate(g.q_mods)], dtype=np.uint64)
-        self.dec_gt_qhinv = _scalar_shoup(
-            gt_qhinv.reshape(k, 1), np.array(g.q_mods).reshape(k, 1))
-        # q_hat_i * (-q)^{-1} folded, per target x in {t, gamma}
-        dec_hats = np.array(
-            [[int(g.q_hat[i]) % x * ((-invmod(self.params.q % x, x)) % x) % x
-              for i in range(k)] for x in (t, gamma)], dtype=np.uint64)
-        tg = np.array([t, gamma], dtype=np.uint64).reshape(2, 1)
-        self.dec_hats = (_const(dec_hats[..., None]),
-                         _const(shoup_precompute(dec_hats[..., None],
-                                                 tg[:, None])))
-        self.dec_tg = _const(tg)
-        self.inv_gamma_mod_t = _scalar_shoup(
-            np.array([[invmod(gamma % t, t)]]), np.array([[t]]))
-        self.mu_t = _const(barrett_mu(np.array([[t]])))
+        # ---- RNS decryption constants (exact CRT scale-and-round) ----
+        # Exact multiword rounding (ops/wide.py) replaced the t-gamma
+        # approximation: decrypt bytes are part of the consensus contract
+        # (fhe.rs:688-699) and must match golden on EVERY wire-valid
+        # ciphertext, including attacker-constructed boundary dots
+        # (tests/test_decrypt_consensus.py).
+        from .wide import ExactScaleRound
+        self._exact_round = ExactScaleRound(g.q_mods, params.t)
+        self._decrypt_fns: dict = {}
 
         # ---- keyswitch constants -------------------------------------
         if params.special_modulus is not None:
@@ -607,49 +593,54 @@ class JaxEngine:
         return ws
 
     # ==================================================================
-    # batched RNS decryption (t-gamma scale-and-round, exact for valid cts)
+    # batched RNS decryption (exact CRT scale-and-round, any ct size)
     # ==================================================================
-    @functools.cached_property
-    def _decrypt_core(self):
-        def f(ct, s_ntt):
-            """(B, 2, k, n) ct + s_ntt (k, n) -> (B, n) plaintext mod t.
+    def _decrypt_fn(self, size: int):
+        """Jitted decrypt for a fixed ciphertext component count.
 
-            dot = c0 + c1*s per limb, then m = round(t*dot/q) mod t via the
-            gamma-correction technique -- all in RNS, no CRT bigints.
-            """
-            c1s = self._intt_q(mulmod(self._ntt_q(ct[:, 1]), s_ntt,
-                                      self.q_mods, self.mu_q))
-            dot = addmod(ct[:, 0], c1s, self.q_mods)       # (B, k, n)
-            # y_i = |dot_i * (gamma*t) * q_hat_inv_i|_{q_i}
-            y = mulmod_shoup(dot, *self.dec_gt_qhinv, self.q_mods)
-            # s_{t,gamma} = sum_i y_i * [q_hat_i * (-q^-1)]_x  mod x
-            yb = y[..., None, :, :]                         # (B,1,k,n)
-            w, ws = self.dec_hats
-            terms = mulmod_shoup(barrett_reduce(
-                yb, self.dec_tg[..., None, :],
-                jnp.asarray(barrett_mu(np.asarray(self.dec_tg)))[..., None, :]),
-                w, ws, self.dec_tg[..., None, :])
-            acc = terms[..., 0, :]
-            for i in range(1, self.k):
-                acc = addmod(acc, terms[..., i, :], self.dec_tg)
-            s_t, s_g = acc[..., 0, :], acc[..., 1, :]       # (B, n)
-            t64 = jnp.uint64(self.params.t)
-            g64 = jnp.uint64(self.gamma)
-            # center s_gamma and subtract mod t
-            big = s_g > (g64 >> jnp.uint64(1))
-            pos = barrett_reduce(s_g, t64, self.mu_t[0, 0])
-            neg = submod(jnp.uint64(0),
-                         barrett_reduce(g64 - s_g, t64, self.mu_t[0, 0]), t64)
-            corr = jnp.where(big, neg, pos)
-            m = submod(s_t, corr, t64)
-            return mulmod_shoup(m, self.inv_gamma_mod_t[0][0, 0],
-                                self.inv_gamma_mod_t[1][0, 0], t64)
-        return jax.jit(f)
+        dot = sum_comp c_comp * s^comp per limb (golden._dot_with_secret,
+        arbitrary size -- a wire ciphertext may carry 3+ components), then
+        the EXACT m = round(t*x/q) mod t via multiword CRT composition
+        (ops/wide.py; bit-identical to golden._message_from_dot on every
+        input, boundary dots included)."""
+        fn = self._decrypt_fns.get(size)
+        if fn is not None:
+            return fn
+
+        def f(ct, s_ntt):
+            """(B, size, k, n) ct + s_ntt (k, n) -> (B, n) plaintext mod t."""
+            acc = None
+            cur = s_ntt
+            for comp in range(1, size):
+                term = mulmod(self._ntt_q(ct[:, comp]), cur,
+                              self.q_mods, self.mu_q)
+                acc = term if acc is None else addmod(acc, term, self.q_mods)
+                if comp + 1 < size:
+                    cur = mulmod(cur, s_ntt, self.q_mods, self.mu_q)
+            dot = addmod(ct[:, 0], self._intt_q(acc), self.q_mods)  # (B,k,n)
+            y = mulmod_shoup(dot, *self.q_hat_inv, self.q_mods)
+            return self._exact_round(y)
+
+        fn = jax.jit(f)
+        self._decrypt_fns[size] = fn
+        return fn
+
+    @property
+    def _decrypt_core(self):
+        """Back-compat alias: the size-2 decrypt (benchmarks/report.py)."""
+        return self._decrypt_fn(2)
 
     def decrypt_batch(self, cts: jnp.ndarray, sk) -> jnp.ndarray:
-        """Batched decrypt: (B, 2, k, n) -> (B, n) mod-t polys (device)."""
+        """Batched decrypt: (B, size, k, n) -> (B, n) mod-t polys (device)."""
+        cts = jnp.asarray(cts)
+        size = int(cts.shape[1])
+        if size < 2:
+            # golden raises on size<2 too (intt of an empty dot); both
+            # engines surface it as FailedDecryption through FheApp
+            raise ValueError("decrypt expects a ciphertext with >= 2 "
+                             f"components, got {size}")
         s_ntt = jnp.asarray(sk.s_ntt[:self.k])
-        return self._decrypt_core(jnp.asarray(cts), s_ntt)
+        return self._decrypt_fn(size)(cts, s_ntt)
 
     # ==================================================================
     # batched deterministic encryption (device math, host sampling)
