@@ -80,6 +80,10 @@ _SMOKE_PATTERNS = [
     "test_zstd_dispatch.py",
     # adversarial decrypt byte-consensus (exact scale-and-round; VERDICT r4)
     "test_decrypt_consensus.py",
+    # three-stack byte-differential fuzz replay (golden / jax / native ABI)
+    "test_fuzz_byte_consensus.py::test_corpus_replay_three_stacks",
+    "test_fuzz_byte_consensus.py::test_c1_zero_boundary_through_native_abi",
+    "test_fuzz_byte_consensus.py::test_noise_exhaustion_chain_three_stacks",
 ]
 
 
