@@ -78,6 +78,8 @@ _SMOKE_PATTERNS = [
     "test_serve_soak.py::test_byte_server_native_soak",
     # runtime zstd dispatch: consensus-byte pins across library swaps
     "test_zstd_dispatch.py",
+    # consensus-canonical zstd frames (the r5 attacker-steered split fix)
+    "test_zstd_canonical.py",
     # adversarial decrypt byte-consensus (exact scale-and-round; VERDICT r4)
     "test_decrypt_consensus.py",
     # three-stack byte-differential fuzz replay (golden / jax / native ABI)

@@ -33,6 +33,15 @@ class NativeFhe:
         self.lib.fhe_free.restype = None
         self.lib.fhe_error.argtypes = [ctypes.c_int32]
         self.lib.fhe_error.restype = ctypes.c_void_p
+        # The pure-C++ library (libc_fhe_native.so) must emit
+        # consensus-CANONICAL zstd frames; its linked system build may not
+        # be canonical, so swap the dispatch to a verified build before
+        # the first call (libc_fhe.so routes through Python's canonical
+        # wheel and has no fhe_tpu_* surface -- skip).
+        self.zstd_source = None
+        if hasattr(self.lib, "fhe_tpu_use_libzstd"):
+            from .codec import autoprobe_zstd
+            self.zstd_source = autoprobe_zstd(self.lib)
 
     def call(self, name: str, data: bytes) -> Tuple[int, bytes]:
         fn = getattr(self.lib, f"c_fhe_{name}")

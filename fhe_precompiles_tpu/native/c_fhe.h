@@ -112,16 +112,26 @@ int32_t fhe_tpu_init_keys(const uint8_t *pub, size_t pub_len,
 int32_t fhe_tpu_params(uint64_t *n, uint64_t *k_ct, uint64_t *k_key,
                        uint64_t *t);
 
-/* Swap in a faster zstd build at runtime (the serving encode path is
- * zstd-floor-bound and some system libzstd builds are ~1.45x slower than
- * the 1.5.7 wheels').  The candidate is dlopen'd and BYTE-VERIFIED
- * against the linked library on probe payloads before the dispatch table
+/* Swap in a different zstd build at runtime.  The candidate is dlopen'd
+ * and BYTE-VERIFIED against the checked-in CANONICAL frame hashes
+ * (zstd_canonical.h; canonical build = zstd 1.5.7, the build the
+ * consensus golden hashes were pinned with) before the dispatch table
  * swaps — the frames are consensus-critical, so a library that
- * compresses differently is rejected.  path == NULL or "system" restores
- * the linked library.  Returns 0 ok, 1 dlopen failure, 2 missing
- * symbols, 3 frame mismatch.  Call before worker threads for a clean
- * swap (a mid-flight call is still memory-safe). */
+ * compresses differently is rejected.  This both enables the ~1.45x
+ * faster 1.5.7 wheel builds on the encode path AND is the remediation
+ * when the linked build itself is non-canonical (zstd builds diverge on
+ * sparse-noise ciphertext payloads, which are attacker-steerable through
+ * op outputs).  path == NULL or "system" restores the linked library
+ * (allowed even when non-canonical — explicit operator choice).
+ * Returns 0 ok, 1 dlopen failure, 2 missing symbols, 3 not canonical.
+ * Call before worker threads for a clean swap (a mid-flight call is
+ * still memory-safe). */
 int32_t fhe_tpu_use_libzstd(const char *path);
+
+/* 1 if the ACTIVE zstd dispatch reproduces the canonical consensus
+ * frames, 0 if not (validators should alarm on 0; init also prints a
+ * one-line stderr warning when keys are first bound non-canonically). */
+int32_t fhe_tpu_zstd_canonical(void);
 
 /* Decode one binary-op calldata blob (name = the c_fhe_* suffix, e.g.
  * "mul_cipheru64_cipheru64").  On 0: *shape = 0 cc / 1 cp / 2 pc, *op =

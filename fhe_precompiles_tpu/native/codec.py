@@ -21,6 +21,54 @@ import numpy as np
 _U64P = POINTER(c_uint64)
 
 
+def autoprobe_zstd(lib) -> str:
+    """Point the library's zstd dispatch at a CANONICAL build.
+
+    The canonical consensus build is zstd 1.5.7 (data/zstd_canonical.json);
+    the linked system build may be non-canonical (builds diverge on
+    sparse-noise ciphertext payloads, attacker-steerable through op
+    outputs) AND ~1.45x slower on the encode path.  Candidates, in order:
+    FHE_TPU_LIBZSTD=<path> (explicit; failure warns), then the
+    python-zstandard wheel's _cffi extension (the canonical build itself).
+    ``FHE_TPU_LIBZSTD=system`` disables probing.  Returns the active
+    source ("system" or the accepted candidate path).
+    """
+    import os
+    lib.fhe_tpu_use_libzstd.argtypes = [c_char_p]
+    lib.fhe_tpu_use_libzstd.restype = c_int32
+    probe = os.environ.get("FHE_TPU_LIBZSTD")
+    if probe == "system":
+        return "system"
+    cands = [probe] if probe else []
+    if not probe:
+        try:
+            import importlib.util
+            spec = importlib.util.find_spec("zstandard._cffi")
+            if spec is not None and spec.origin:
+                cands.append(spec.origin)
+        except Exception:
+            pass
+    for cand in cands:
+        if not cand:
+            continue
+        rc = lib.fhe_tpu_use_libzstd(cand.encode())
+        if rc == 0:
+            return cand
+        if probe:
+            # an EXPLICIT operator override that fails must not be
+            # silently ignored: a typo'd path loses the canonical/fast
+            # build, a mismatching one hides a consensus-relevant delta
+            import warnings
+            reason = {1: "dlopen failed", 2: "missing symbols",
+                      3: "not consensus-canonical (frame mismatch)"
+                      }.get(rc, f"rc={rc}")
+            warnings.warn(
+                f"FHE_TPU_LIBZSTD={cand!r} failed verification "
+                f"({reason}); staying on the linked zstd build "
+                "(zstd_source='system')", RuntimeWarning)
+    return "system"
+
+
 class PkRef:
     """Owned reference to a parsed public key inside the native LRU.
 
@@ -129,28 +177,10 @@ class NativeCodec:
         lib.fhe_tpu_use_libzstd.restype = c_int32
         self.lib = lib
 
-        # The encode half is zstd-floor-bound and the system libzstd 1.5.4
-        # build is ~1.45x slower than python-zstandard's embedded 1.5.7;
-        # probe the faster build (byte-verified in C against the linked
-        # library before the dispatch swaps — a mismatching candidate is
-        # rejected and the linked library stays).  FHE_TPU_LIBZSTD=<path>
-        # overrides the probe; =system disables it.
-        self.zstd_source = "system"
-        probe = os.environ.get("FHE_TPU_LIBZSTD")
-        if probe != "system":
-            cands = [probe] if probe else []
-            if not probe:
-                try:
-                    import importlib.util
-                    spec = importlib.util.find_spec("zstandard._cffi")
-                    if spec is not None and spec.origin:
-                        cands.append(spec.origin)
-                except Exception:
-                    pass
-            for cand in cands:
-                if cand and lib.fhe_tpu_use_libzstd(cand.encode()) == 0:
-                    self.zstd_source = cand
-                    break
+        # Swap the zstd dispatch to the consensus-canonical build (which is
+        # also the ~1.45x faster one on the encode path) -- see
+        # autoprobe_zstd.
+        self.zstd_source = autoprobe_zstd(lib)
 
         pub = app._public_key_bytes
         pri = keyio.save_private_key(app.private_key)

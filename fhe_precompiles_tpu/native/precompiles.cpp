@@ -31,6 +31,7 @@
 #include <zstd.h>
 
 #include "c_fhe.h"  // the public 51-symbol surface (prototypes + X-macro)
+#include "zstd_canonical.h"  // canonical zstd frame hashes (generated)
 
 #include <array>
 #include <atomic>
@@ -703,16 +704,148 @@ static std::vector<u8> unwrap_stream(const u8* d, size_t len) {
   enc_err();  // unsupported compression mode
 }
 
-// Probe-verify a candidate zstd library and swap the dispatch table on
-// exact byte match.  Returns 0 ok, 1 dlopen failure, 2 missing symbols,
-// 3 frame/roundtrip mismatch.  path == NULL or "system" restores the
-// linked library.  Call at init, before worker threads, though a
-// mid-flight swap is safe too (live holders keep their captured API; the
-// dlopen handle is never closed).
+// ---------------------------------------------------------------------------
+// Canonical zstd verification.  Consensus bytes embed zstd level-3 frames,
+// and zstd BUILDS diverge on some payloads (system 1.5.4 vs the pinned
+// canonical 1.5.7 differ on sparse-centered-noise ciphertext payloads --
+// attacker-steerable through any binary op output, so a cross-stack
+// consensus split; the reference pins per-platform golden hashes for the
+// same reason, fhe.rs:2103-2119).  The canonical build's frame hashes over
+// a deterministic probe corpus are checked in (zstd_canonical.h, generated
+// by tools/make_zstd_canonical.py; mirrored in Python by
+// serialization/zstd_probes.py) and every candidate -- INCLUDING the
+// linked library -- is verified against them.
+// ---------------------------------------------------------------------------
+
+static std::vector<u8> build_canon_probe(const ZCanonProbe& p) {
+  auto xorshift = [](u64& x) {
+    x ^= x << 13;
+    x ^= x >> 7;
+    x ^= x << 17;
+    return x;
+  };
+  if (std::strcmp(p.kind, "residue") == 0) {
+    std::vector<u8> out(73 + (size_t)p.count * 8, 0);
+    u64 x = p.seed;
+    u64* v = (u64*)(out.data() + 73);
+    for (u64 i = 0; i < p.count; ++i)
+      v[i] = xorshift(x) & ((1ULL << 37) - 1);
+    return out;
+  }
+  if (std::strcmp(p.kind, "sparse") == 0) {
+    // sparse centered noise mod the first testnet modulus -- the measured
+    // 1.5.4-vs-1.5.7 divergence window (zstd_probes.py build_probe)
+    const u64 P = 0xFFFFEE001ULL;
+    std::vector<u8> out(73 + (size_t)p.count * 8, 0);
+    u64 x = p.seed;
+    u64* v = (u64*)(out.data() + 73);
+    for (u64 i = 0; i < p.count; ++i) {
+      u64 r = xorshift(x);
+      u64 sel = r & 3;
+      v[i] = sel == 0 ? (r >> 2) % 40
+             : sel == 1 ? (P - 1) - ((r >> 2) % 39)
+                        : 0;
+    }
+    return out;
+  }
+  if (std::strcmp(p.kind, "struct") == 0) {
+    std::vector<u8> out(p.size);
+    for (u64 i = 0; i < p.size; ++i) out[i] = (u8)(i * 7);
+    return out;
+  }
+  if (std::strcmp(p.kind, "zeros") == 0) return std::vector<u8>(p.size, 0);
+  // pattern
+  std::vector<u8> out(p.size);
+  for (u64 i = 0; i < p.size; ++i) out[i] = (u8)((i % 37) * 11 + i / 8192);
+  return out;
+}
+
+// Does `api` reproduce the canonical frames (and roundtrip them)?
+static bool zstd_api_is_canonical(const ZstdApi* api) {
+  ZSTD_CCtx* cc = api->createCCtx();
+  ZSTD_DCtx* dc = api->createDCtx();
+  bool ok = cc && dc;
+  for (int i = 0; ok && i < ZCANON_COUNT; ++i) {
+    const ZCanonProbe& pr = ZCANON_PROBES[i];
+    std::vector<u8> p = build_canon_probe(pr);
+    size_t bound = api->compressBound(p.size());
+    std::vector<u8> frame(bound);
+    size_t r = api->compressCCtx(cc, frame.data(), bound, p.data(), p.size(),
+                                 ZCANON_LEVEL);
+    if (api->isError(r)) {
+      ok = false;
+      break;
+    }
+    u8 digest[64];
+    sha512::Ctx h;
+    h.update(frame.data(), r);
+    h.final(digest);
+    if (std::memcmp(digest, pr.sha512, 64) != 0) {
+      ok = false;
+      break;
+    }
+    // roundtrip + content-size through the candidate's decode half
+    if (api->getFrameContentSize(frame.data(), r) != p.size()) {
+      ok = false;
+      break;
+    }
+    std::vector<u8> back(p.size());
+    size_t rd = api->decompressDCtx(dc, back.data(), back.size(),
+                                    frame.data(), r);
+    if (api->isError(rd) || rd != p.size() ||
+        (p.size() && std::memcmp(back.data(), p.data(), p.size()) != 0))
+      ok = false;
+  }
+  if (cc) api->freeCCtx(cc);
+  if (dc) api->freeDCtx(dc);
+  return ok;
+}
+
+// Cached canonical status per API table (probing costs ~10 ms).
+static bool zstd_current_is_canonical() {
+  static std::mutex mu;
+  static std::map<const ZstdApi*, bool>* verdicts =
+      new std::map<const ZstdApi*, bool>();
+  const ZstdApi* api = g_zstd.load(std::memory_order_acquire);
+  std::lock_guard<std::mutex> lock(mu);
+  auto it = verdicts->find(api);
+  if (it != verdicts->end()) return it->second;
+  bool ok = zstd_api_is_canonical(api);
+  (*verdicts)[api] = ok;
+  return ok;
+}
+
+// Probe-verify a candidate zstd library against the CANONICAL frame hashes
+// and swap the dispatch table on exact match.  Returns 0 ok, 1 dlopen
+// failure, 2 missing symbols, 3 not canonical (frame/roundtrip mismatch).
+// path == NULL or "system" restores the linked library (allowed even
+// though the linked build may be non-canonical -- an explicit operator
+// choice; fhe_tpu_zstd_canonical() reports the resulting status).  Call at
+// init, before worker threads, though a mid-flight swap is safe too (live
+// holders keep their captured API; the dlopen handle is never closed).
 static int32_t use_libzstd(const char* path) {
   if (!path || std::strcmp(path, "system") == 0) {
     g_zstd.store(&LINKED_ZSTD, std::memory_order_release);
     return 0;
+  }
+  // Verified-candidate cache keyed by resolved path: NativeCodec re-runs
+  // the probe per construction, and re-dlopening + re-allocating a fresh
+  // ZstdApi each time leaked the previous table (dlopen itself refcounts
+  // the handle, so reusing the first table is exactly equivalent).  The
+  // lock is held across the probe so concurrent first-probes of the same
+  // path cannot double-allocate.
+  static std::mutex cache_mu;
+  static std::map<std::string, const ZstdApi*>* cache =
+      new std::map<std::string, const ZstdApi*>();
+  char rbuf[4096];
+  std::string key = realpath(path, rbuf) ? rbuf : path;
+  std::lock_guard<std::mutex> cache_lock(cache_mu);
+  {
+    auto it = cache->find(key);
+    if (it != cache->end()) {
+      g_zstd.store(it->second, std::memory_order_release);
+      return 0;
+    }
   }
   // DEEPBIND: zstd's internal cross-calls to its own EXPORTED functions go
   // through the PLT; without deepbind those bind to whatever libzstd sits
@@ -741,67 +874,13 @@ static int32_t use_libzstd(const char* path) {
     dlclose(h);
     return 2;
   }
-  // Probe payloads: a ciphertext-shaped one (73-byte header + uniform
-  // <2^37 residues, the dominant serving case), a short structured one,
-  // and an all-zero one (degenerate match/RLE paths).
-  std::vector<std::vector<u8>> probes;
-  {
-    std::vector<u8> p(73 + 2 * 2 * 4096 * 8, 0);
-    u64 x = 0x9e3779b97f4a7c15ULL;
-    u64* v = (u64*)(p.data() + 73);
-    for (size_t i = 0; i < 2 * 2 * 4096; ++i) {
-      x ^= x << 13;
-      x ^= x >> 7;
-      x ^= x << 17;
-      v[i] = x & ((1ULL << 37) - 1);
-    }
-    probes.push_back(std::move(p));
-  }
-  {
-    std::vector<u8> p(257);
-    for (size_t i = 0; i < p.size(); ++i) p[i] = (u8)(i * 7);
-    probes.push_back(std::move(p));
-  }
-  probes.push_back(std::vector<u8>(4096, 0));
-  ZSTD_CCtx* cc = cand->createCCtx();
-  ZSTD_DCtx* dc = cand->createDCtx();
-  ZSTD_CCtx* lc = ZSTD_createCCtx();
-  bool ok = cc && dc && lc;
-  for (const auto& p : probes) {
-    if (!ok) break;
-    size_t bound = ZSTD_compressBound(p.size());
-    std::vector<u8> got(bound), want(bound);
-    size_t rg = cand->compressCCtx(cc, got.data(), bound, p.data(), p.size(),
-                                   3);
-    size_t rw = ZSTD_compressCCtx(lc, want.data(), bound, p.data(), p.size(),
-                                  3);
-    if (cand->isError(rg) || ZSTD_isError(rw) || rg != rw ||
-        std::memcmp(got.data(), want.data(), rw) != 0) {
-      ok = false;
-      break;
-    }
-    // roundtrip + content-size through the candidate's decode half
-    if (cand->getFrameContentSize(want.data(), rw) != p.size()) {
-      ok = false;
-      break;
-    }
-    std::vector<u8> back(p.size());
-    size_t rd = cand->decompressDCtx(dc, back.data(), back.size(),
-                                     want.data(), rw);
-    if (cand->isError(rd) || rd != p.size() ||
-        (p.size() && std::memcmp(back.data(), p.data(), p.size()) != 0)) {
-      ok = false;
-      break;
-    }
-  }
-  if (cc) cand->freeCCtx(cc);
-  if (dc) cand->freeDCtx(dc);
-  if (lc) ZSTD_freeCCtx(lc);
-  if (!ok) {
+  if (!zstd_api_is_canonical(cand.get())) {
     dlclose(h);
     return 3;
   }
-  g_zstd.store(cand.release(), std::memory_order_release);  // h stays open
+  const ZstdApi* api = cand.release();
+  (*cache)[key] = api;  // reused by later probes of the same path
+  g_zstd.store(api, std::memory_order_release);  // h stays open
   return 0;
 }
 
@@ -1680,6 +1759,26 @@ static void init_app() {
                        app->params.coeff.size(), B.data(), B.size(), m_sk,
                        1ULL << 16 /* m_tilde, params.py:154-156 */);
   if (!app->he) throw GenericErr{};
+
+  // Consensus-canonical zstd: if the active build is non-canonical (e.g.
+  // the linked system build), try an operator-designated candidate, then
+  // warn ONCE -- a validator silently emitting non-canonical frames on
+  // low-entropy ciphertexts is a consensus split waiting to be triggered.
+  // (Python hosts also auto-probe the zstandard wheel via NativeCodec/
+  // NativeFhe before this runs; pure-C++ hosts set FHE_TPU_LIBZSTD.)
+  if (!zstd_current_is_canonical()) {
+    const char* zenv = std::getenv("FHE_TPU_LIBZSTD");
+    if (zenv && *zenv && std::strcmp(zenv, "system") != 0)
+      use_libzstd(zenv);
+    if (!zstd_current_is_canonical())
+      std::fprintf(
+          stderr,
+          "fhe_precompiles_tpu: WARNING: the active zstd build is NOT the "
+          "consensus-canonical build (see data/zstd_canonical.json); "
+          "emitted ciphertext bytes can differ from canonical validators "
+          "on low-entropy payloads.  Point FHE_TPU_LIBZSTD at a canonical "
+          "libzstd (zstd 1.5.7) to fix.\n");
+  }
   g_app = app;  // publish only on full success
 }
 
@@ -2411,6 +2510,10 @@ int32_t fhe_tpu_init_keys(const uint8_t* pub, size_t pub_len,
 
 int32_t fhe_tpu_use_libzstd(const char* path) {
   return fheabi::use_libzstd(path);
+}
+
+int32_t fhe_tpu_zstd_canonical(void) {
+  return fheabi::zstd_current_is_canonical() ? 1 : 0;
 }
 
 int32_t fhe_tpu_params(uint64_t* n, uint64_t* k_ct, uint64_t* k_key,

@@ -73,6 +73,12 @@ _zstd_tls = threading.local()
 def _zstd_compressor() -> "zstandard.ZstdCompressor":
     c = getattr(_zstd_tls, "compressor", None)
     if c is None:
+        # one-time per process: verify this zstandard build reproduces the
+        # consensus-canonical frames (builds diverge on sparse-noise
+        # ciphertext payloads; a non-canonical build warns -- see
+        # zstd_probes.check_python_zstd_canonical)
+        from .zstd_probes import check_python_zstd_canonical
+        check_python_zstd_canonical()
         c = zstandard.ZstdCompressor(write_content_size=True)
         _zstd_tls.compressor = c
     return c
