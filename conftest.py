@@ -76,6 +76,9 @@ _SMOKE_PATTERNS = [
     # serving soak: RSS must stay flat over sustained windows (caught the
     # thread_local zstd-context leak)
     "test_serve_soak.py::test_byte_server_native_soak",
+    # device-phase fault isolation + queue-fed continuous serving
+    "test_serve_faults.py::test_stream_run_failure_degrades_to_fallback",
+    "test_serve_faults.py::test_continuous_mode_matches_fheapp_call",
     # runtime zstd dispatch: consensus-byte pins across library swaps
     "test_zstd_dispatch.py",
     # consensus-canonical zstd frames (the r5 attacker-steered split fix)
