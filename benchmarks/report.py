@@ -302,7 +302,9 @@ def main():
     emit("pallas_ntt_n4096_transforms_per_sec",
          B * 2 * len(ctx.q_mods) / dt, "transforms/s/chip")
 
-    # ---- batched device decryption (t-gamma RNS path) -----------------
+    # ---- batched device decryption (exact multiword CRT, ops/wide.py;
+    # measured 6.5% below the retired t-gamma approximation -- the price
+    # of byte-exactness on adversarial inputs) ---------------------------
     from fhe_precompiles_tpu.ops.modmath import addmod as _addmod
     s_ntt = jnp.asarray(sk.s_ntt[:ctx.k])
     q_col = np.array(ctx.q_mods, dtype=np.uint64).reshape(-1, 1)
