@@ -85,6 +85,8 @@ _SMOKE_PATTERNS = [
     "test_zstd_canonical.py",
     # adversarial decrypt byte-consensus (exact scale-and-round; VERDICT r4)
     "test_decrypt_consensus.py",
+    # SEAL zero-extension add/sub on mismatched component counts (r5)
+    "test_size_semantics.py::test_mismatched_sizes_byte_identical_all_stacks",
     # three-stack byte-differential fuzz replay (golden / jax / native ABI)
     "test_fuzz_byte_consensus.py::test_corpus_replay_three_stacks",
     "test_fuzz_byte_consensus.py::test_c1_zero_boundary_through_native_abi",

@@ -342,17 +342,35 @@ class BfvContext:
     # ------------------------------------------------------------------
     # homomorphic ops
     # ------------------------------------------------------------------
-    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        out = np.empty_like(a.data)
+    def _ext_addsub(self, a: Ciphertext, b: Ciphertext, fn,
+                    neg_extra: bool) -> Ciphertext:
+        """SEAL Evaluator::add/sub semantics for ANY component counts:
+        result size = max(sa, sb); shared components combine; the larger
+        operand's extra components are copied (negated when they come
+        from the subtrahend).  The wire accepts any size >= 1, so all
+        engines must agree here (tests/test_size_semantics.py) -- numpy
+        broadcasting previously made mismatched sizes accidentally
+        asymmetric (and wrong vs SEAL)."""
+        sa, sb = a.size, b.size
+        if min(sa, sb) < 1:
+            raise ValueError("add/sub expects ciphertexts with >= 1 "
+                             "component")
+        m, big = min(sa, sb), max(sa, sb)
+        out = np.empty((big, self.k, self.n), dtype=np.uint64)
         for j, p in enumerate(self.q_mods):
-            out[:, j] = addmod(a.data[:, j], b.data[:, j], p)
+            out[:m, j] = fn(a.data[:m, j], b.data[:m, j], p)
+            if sa > sb:
+                out[m:, j] = a.data[m:, j]
+            elif sb > sa:
+                out[m:, j] = (negmod(b.data[m:, j], p) if neg_extra
+                              else b.data[m:, j])
         return Ciphertext(self.params, out)
 
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        return self._ext_addsub(a, b, addmod, False)
+
     def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        out = np.empty_like(a.data)
-        for j, p in enumerate(self.q_mods):
-            out[:, j] = submod(a.data[:, j], b.data[:, j], p)
-        return Ciphertext(self.params, out)
+        return self._ext_addsub(a, b, submod, True)
 
     def negate(self, a: Ciphertext) -> Ciphertext:
         out = np.empty_like(a.data)

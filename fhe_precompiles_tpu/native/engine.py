@@ -140,25 +140,36 @@ class NativeEngine:
     # ------------------------------------------------------------------
     # homomorphic ops (bit-identical to BfvContext methods)
     # ------------------------------------------------------------------
-    def _check_pair(self, a: Ciphertext, b: Ciphertext) -> None:
-        # The C++ kernels index raw buffers; mismatched operand sizes must
-        # be rejected here (golden raises a numpy shape error -> code 7).
-        if a.size != b.size:
-            raise ValueError(f"ciphertext size mismatch {a.size} != {b.size}")
+    def _ext_addsub(self, a: Ciphertext, b: Ciphertext,
+                    is_sub: bool) -> Ciphertext:
+        """SEAL zero-extension add/sub (golden._ext_addsub semantics):
+        the C++ kernel runs on the shared prefix (bounded raw-buffer
+        indexing), extras are copied / he_neg'd on the Python side."""
+        sa, sb = a.size, b.size
+        if min(sa, sb) < 1:
+            raise ValueError("add/sub expects ciphertexts with >= 1 "
+                             "component")
+        m, big = min(sa, sb), max(sa, sb)
+        out = self._out(big)
+        fn = self._lib.he_sub if is_sub else self._lib.he_add
+        fn(self._ctx, _u64p(_c(a.data[:m])), _u64p(_c(b.data[:m])),
+           m, _u64p(out))
+        if sa > sb:
+            out[m:] = a.data[m:]
+        elif sb > sa:
+            if is_sub:
+                extra = np.ascontiguousarray(b.data[m:])
+                self._lib.he_neg(self._ctx, _u64p(extra), sb - m,
+                                 _u64p(out[m:]))
+            else:
+                out[m:] = b.data[m:]
+        return self._wrap(out)
 
     def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        self._check_pair(a, b)
-        out = self._out(a.size)
-        self._lib.he_add(self._ctx, _u64p(_c(a.data)), _u64p(_c(b.data)),
-                         a.size, _u64p(out))
-        return self._wrap(out)
+        return self._ext_addsub(a, b, False)
 
     def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        self._check_pair(a, b)
-        out = self._out(a.size)
-        self._lib.he_sub(self._ctx, _u64p(_c(a.data)), _u64p(_c(b.data)),
-                         a.size, _u64p(out))
-        return self._wrap(out)
+        return self._ext_addsub(a, b, True)
 
     def negate(self, a: Ciphertext) -> Ciphertext:
         out = self._out(a.size)

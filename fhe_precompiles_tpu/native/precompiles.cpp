@@ -1911,11 +1911,30 @@ static std::vector<u8> do_binary(App* a, Op op, Shape shape, int tag,
   try {
     if (shape == CC) {
       if (op == OP_ADD || op == OP_SUB) {
-        if (ca.size != cb.size) throw GenericErr{};  // numpy shape error -> 7
-        out.size = ca.size;
-        out.data.resize(ca.size * k * n);
+        // SEAL Evaluator::add/sub zero-extension semantics for ANY
+        // component counts (golden._ext_addsub): shared prefix combines,
+        // the larger operand's extras are copied (negated when they come
+        // from the subtrahend).  All engines agree byte-for-byte
+        // (tests/test_size_semantics.py).
+        if (ca.size < 1 || cb.size < 1) throw GenericErr{};
+        u64 m = ca.size < cb.size ? ca.size : cb.size;
+        u64 big = ca.size < cb.size ? cb.size : ca.size;
+        out.size = big;
+        out.data.resize(big * k * n);
         (op == OP_ADD ? he_add : he_sub)(a->he, ca.data.data(), cb.data.data(),
-                                         ca.size, out.data.data());
+                                         m, out.data.data());
+        if (ca.size > cb.size) {
+          std::memcpy(out.data.data() + m * k * n, ca.data.data() + m * k * n,
+                      (big - m) * k * n * sizeof(u64));
+        } else if (cb.size > ca.size) {
+          if (op == OP_SUB)
+            he_neg(a->he, cb.data.data() + m * k * n, big - m,
+                   out.data.data() + m * k * n);
+          else
+            std::memcpy(out.data.data() + m * k * n,
+                        cb.data.data() + m * k * n,
+                        (big - m) * k * n * sizeof(u64));
+        }
       } else {
         if (!pk->has_relin)
           throw FheErr{7};  // "public key lacks relinearization keys"

@@ -692,11 +692,33 @@ class JaxEngine:
         return Ciphertext(self.params,
                           np.asarray(jax.device_get(data), dtype=np.uint64))
 
+    def _ext_addsub(self, a: Ciphertext, b: Ciphertext,
+                    is_sub: bool) -> Ciphertext:
+        """SEAL zero-extension add/sub for any component counts (mirrors
+        golden._ext_addsub bit-exactly; jnp broadcasting previously made
+        a size-1 operand silently broadcast -- a consensus split)."""
+        sa, sb = a.size, b.size
+        if min(sa, sb) < 1:
+            raise ValueError("add/sub expects ciphertexts with >= 1 "
+                             "component")
+        fn = self._sub if is_sub else self._add
+        if sa == sb:
+            return self._wrap(fn(jnp.asarray(a.data), jnp.asarray(b.data)))
+        m = min(sa, sb)
+        shared = fn(jnp.asarray(a.data[:m]), jnp.asarray(b.data[:m]))
+        if sa > sb:
+            extra = jnp.asarray(a.data[m:])
+        else:
+            extra = jnp.asarray(b.data[m:])
+            if is_sub:
+                extra = self._neg(extra)
+        return self._wrap(jnp.concatenate([shared, extra], axis=0))
+
     def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        return self._wrap(self._add(jnp.asarray(a.data), jnp.asarray(b.data)))
+        return self._ext_addsub(a, b, False)
 
     def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        return self._wrap(self._sub(jnp.asarray(a.data), jnp.asarray(b.data)))
+        return self._ext_addsub(a, b, True)
 
     def negate(self, a: Ciphertext) -> Ciphertext:
         return self._wrap(self._neg(jnp.asarray(a.data)))

@@ -183,14 +183,23 @@ def test_mul_without_relin_keys(native, user_keys):
 
 
 def test_size3_ciphertext_add(native, user_keys):
-    pk, _sk = user_keys
+    """Mismatched component counts follow SEAL's zero-extension add
+    (round 5; tests/test_size_semantics.py covers the full matrix):
+    size-3 product + size-2 ct -> size-3 sum, byte-identical across
+    stacks, decrypting to the plaintext sum."""
+    pk, sk = user_keys
     a = _ct(3, "u64", pk, b"s3a")
     b = _ct(2, "u64", pk, b"s3b")
     c3 = FHE.ctx.multiply(a, b)
     data = pack.pack_binary_operation(pk, c3, _CT_CODEC, a, _CT_CODEC)
-    code_n, _ = native.call("add_cipheru64_cipheru64", data)
-    code_p, _ = FHE.call("add_cipheru64_cipheru64", data)
-    assert code_n == code_p == 7
+    got_n = native.call("add_cipheru64_cipheru64", data)
+    got_p = FHE.call("add_cipheru64_cipheru64", data)
+    assert got_n == got_p
+    assert got_n[0] == 0
+    out = Ciphertext.from_bytes(got_n[1])
+    assert out.size == 3
+    assert PLAIN_TYPES["u64"].decode(FHE.ctx.decrypt(out, sk),
+                                     FHE.params) == 3 * 2 + 3
 
 
 def test_galois_bearing_pk_accepted(native, user_keys):
