@@ -115,6 +115,40 @@ def test_plain_ops_on_odd_sizes_byte_identical(apps, native_abi):
             assert len({v for v in outs.values()}) == 1, (name, size)
 
 
+def test_size5_ct_through_decrypt_and_add(apps, native_abi):
+    """Large component counts: decrypt folds s^4 identically everywhere;
+    zero-extension add handles (5,2)."""
+    c5 = _rand_ct(5, 901)
+    c2 = _rand_ct(2, 902)
+    dec_in = pack.pack_one_argument(c5.to_bytes(), pack.BYTES)
+    outs = {e: app.call("decrypt_frac64", dec_in) for e, app in apps.items()}
+    outs["native-abi"] = native_abi.call("decrypt_frac64", dec_in)
+    assert len({v for v in outs.values()}) == 1
+    add_in = pack.pack_binary_operation(FHE.public_key, c5, _CT_CODEC,
+                                        c2, _CT_CODEC)
+    outs = {e: app.call("add_cipheru64_cipheru64", add_in)
+            for e, app in apps.items()}
+    outs["native-abi"] = native_abi.call("add_cipheru64_cipheru64", add_in)
+    assert len({v for v in outs.values()}) == 1
+    assert outs["golden"][0] == 0
+
+
+def test_reencrypt_to_relinless_target_pk(apps, native_abi):
+    """reencrypt only ENCRYPTS under the target key, so a pk without relin
+    keys is legal; all stacks must agree (and succeed)."""
+    import dataclasses
+    pk1, _ = FHE.generate_keys()
+    pk_norelin = dataclasses.replace(pk1, relin=None)
+    ct = FHE.ctx.encrypt(PLAIN_TYPES["u64"].encode(7, P), FHE.public_key,
+                         hashlib.sha512(b"rr").digest())
+    data = pack.pack_binary_operation(pk_norelin, ct, _CT_CODEC,
+                                      b"\x05", pack.BYTES)
+    outs = {e: app.call("reencrypt_u64", data) for e, app in apps.items()}
+    outs["native-abi"] = native_abi.call("reencrypt_u64", data)
+    assert len({v for v in outs.values()}) == 1
+    assert outs["golden"][0] == 0
+
+
 def test_byte_server_matches_on_mismatched_sizes(apps):
     """The batched server must route odd sizes through the fallback and
     stay byte-equal."""
