@@ -224,6 +224,28 @@ def main():
     if not got_host:
         log(f"host-rows subprocess failed: {sub.stderr[-400:]}")
 
+    # ---- continuous-serving latency rows (host-CPU device) ------------
+    # Queue-fed ByteServer p50/p99 vs offered load (VERDICT r4 item 4);
+    # CPU-only fresh subprocess like every other host row.
+    env_lat = dict(os.environ)
+    env_lat.pop("PALLAS_AXON_POOL_IPS", None)
+    env_lat["JAX_PLATFORMS"] = "cpu"
+    sub = subprocess.run(
+        [sys.executable, os.path.join(here, "serve_latency.py")]
+        + (["--quick"] if quick else []),
+        env=env_lat, capture_output=True, text=True, timeout=1800)
+    got_lat = False
+    for line in sub.stdout.splitlines():
+        try:
+            row = json.loads(line)
+        except ValueError:
+            continue
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        got_lat = True
+    if not got_lat:
+        log(f"serve-latency subprocess failed: {sub.stderr[-400:]}")
+
     # dp1/2/4/8 + the 2-process Gloo run; on by default so the cpu_mesh_*
     # rows the methodology notes describe are actually in the table
     # (opt out with --no-scaling on hosts without the CPU headroom).
@@ -503,6 +525,18 @@ def main():
             " ~160 us, so the ~1.6 ms/request single-core roundtrip is"
             " ~75% raw zstd — remaining copies/checks are not the lever;"
             " host cores are.\n"
+            "\n## Serving: continuous-mode latency (serve_latency rows)\n\n"
+            "The serve_latency_* rows drive the queue-fed continuous"
+            " ByteServer (start_continuous, flush_ms=5 window policy) with"
+            " open-loop Poisson arrivals at fractions of the measured"
+            " saturation rate, on the host-CPU XLA device in a fresh"
+            " subprocess (a co-located accelerator only shrinks the device"
+            " term).  Batch shapes bucket to powers of two"
+            " (parallel/stream.bucket_batch) with ON-DEVICE padding, so"
+            " the jit ladder is ~log2(max_batch) programs per op family"
+            " and transfers stay at the real batch size; unbucketed"
+            " variable windows recompiled per length (p50 was ~6 s)."
+            "  See docs/SERVING.md 'Continuous serving & latency'.\n"
             "\n## Methodology notes\n\n"
             "* The headline mul+relin metric uses DISTINCT operands"
             " (mul_relin(c, roll(c,1))): a squaring chain lets XLA CSE the"
@@ -528,6 +562,12 @@ def main():
             " all optimization decisions use interleaved A/B"
             " (tools/ab_bench.py); absolute rows here come from one run and"
             " carry that window's bias.\n"
+            "* The decrypt row uses the EXACT multiword-CRT path"
+            " (ops/wide.py; round 5): interleaved A/B vs the retired"
+            " t-gamma approximation measured -6.5% in one window and"
+            " neutral-to-faster in others — within contention noise;"
+            " exactness on adversarial inputs is a consensus requirement,"
+            " not a tunable.\n"
             "\n## Roofline notes (round-3 state: u32-pair backend)\n\n"
             "* The radix-4 shoup40 pair NTT measures ~1.0M transforms/s at"
             " n=4096 x 786KB HBM read+write per transform (6 fused chunk"

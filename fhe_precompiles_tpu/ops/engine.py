@@ -41,6 +41,20 @@ def _const(x) -> np.ndarray:
     return np.asarray(x, dtype=np.uint64)
 
 
+def pad_rows(x: jnp.ndarray, target: int) -> jnp.ndarray:
+    """Pad the leading (batch) axis to `target` by repeating row 0 ON
+    DEVICE.  Batch bucketing (parallel/stream.bucket_batch) fixes jit
+    shapes; doing the padding after host->device transfer keeps the
+    transferred bytes at the real batch size -- on tunnel/PCIe-attached
+    hosts the padded copies would otherwise ride the wire for nothing.
+    Pad rows are garbage-in-garbage-out and trimmed by callers."""
+    b = x.shape[0]
+    if b == target:
+        return x
+    fill = jnp.broadcast_to(x[:1], (target - b,) + x.shape[1:])
+    return jnp.concatenate([x, fill], axis=0)
+
+
 def _scalar_shoup(values, mods):
     """(w, w_shoup) device pairs for per-limb scalar constants."""
     w = np.asarray(values, dtype=np.uint64)
@@ -630,8 +644,13 @@ class JaxEngine:
         """Back-compat alias: the size-2 decrypt (benchmarks/report.py)."""
         return self._decrypt_fn(2)
 
-    def decrypt_batch(self, cts: jnp.ndarray, sk) -> jnp.ndarray:
-        """Batched decrypt: (B, size, k, n) -> (B, n) mod-t polys (device)."""
+    def decrypt_batch(self, cts: jnp.ndarray, sk,
+                      target_batch: Optional[int] = None) -> jnp.ndarray:
+        """Batched decrypt: (B, size, k, n) -> (B, n) mod-t polys (device).
+
+        target_batch (>= B): bucket the jit shape by padding ON DEVICE
+        (pad_rows) after the transfer; rows >= B of the result are
+        garbage the caller ignores."""
         cts = jnp.asarray(cts)
         size = int(cts.shape[1])
         if size < 2:
@@ -639,6 +658,8 @@ class JaxEngine:
             # engines surface it as FailedDecryption through FheApp
             raise ValueError("decrypt expects a ciphertext with >= 2 "
                              f"components, got {size}")
+        if target_batch is not None:
+            cts = pad_rows(cts, target_batch)
         s_ntt = jnp.asarray(sk.s_ntt[:self.k])
         return self._decrypt_fn(size)(cts, s_ntt)
 
@@ -660,10 +681,14 @@ class JaxEngine:
         return jax.jit(f)
 
     def encrypt_batch(self, plains: np.ndarray, pk: PublicKey,
-                      seeds) -> jnp.ndarray:
+                      seeds, target_batch: Optional[int] = None
+                      ) -> jnp.ndarray:
         """Deterministic batched encrypt: (B, n) mod-t polys -> (B, 2, k, n).
 
         Bit-identical to golden ``BfvContext.encrypt`` per element.
+        target_batch (>= B): bucket the jit shape by padding ON DEVICE
+        after the transfer (no extra host sampling, no extra wire bytes);
+        rows >= B of the result are garbage the caller ignores.
         """
         B = plains.shape[0]
         n, k = self.n, self.k
@@ -680,9 +705,12 @@ class JaxEngine:
         e0_rns = np.mod(e0[:, None, :], mods).astype(np.uint64)
         e1_rns = np.mod(e1[:, None, :], mods).astype(np.uint64)
         pk_ct = jnp.asarray(pk.data[:, :k])
-        return self._encrypt_core(jnp.asarray(u_rns), jnp.asarray(e0_rns),
-                                  jnp.asarray(e1_rns),
-                                  jnp.asarray(plains.astype(np.uint64)),
+        T = target_batch if target_batch is not None else B
+        return self._encrypt_core(pad_rows(jnp.asarray(u_rns), T),
+                                  pad_rows(jnp.asarray(e0_rns), T),
+                                  pad_rows(jnp.asarray(e1_rns), T),
+                                  pad_rows(jnp.asarray(
+                                      plains.astype(np.uint64)), T),
                                   pk_ct)
 
     # ==================================================================

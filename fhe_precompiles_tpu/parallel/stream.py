@@ -91,14 +91,24 @@ class RequestStream:
                 # variable-size windows (continuous serving) would compile
                 # per distinct length -- seconds each, a recompile storm.
                 # Bucketing caps the ladder at log2(max_batch) programs per
-                # op; pad rows are trimmed, bytes unchanged.
+                # op; pad rows are trimmed, bytes unchanged.  Single-chip:
+                # pad ON DEVICE (engine.pad_rows) so the host->device
+                # transfer stays at the real batch size.  Mesh: device_put
+                # needs the batch divisible by dp, so pad on host first.
+                from ..ops.engine import pad_rows
                 target = bucket_batch(len(chunk), dp, self.max_batch)
-                if target > len(chunk):
-                    pad = target - len(chunk)
-                    a_np = np.concatenate([a_np, np.repeat(a_np[:1], pad, 0)])
-                    b_np = np.concatenate([b_np, np.repeat(b_np[:1], pad, 0)])
-                a = self._place(jnp.asarray(a_np))
-                b = self._place(jnp.asarray(b_np))
+                if self.mesh is None:
+                    a = pad_rows(self._place(jnp.asarray(a_np)), target)
+                    b = pad_rows(self._place(jnp.asarray(b_np)), target)
+                else:
+                    if target > len(chunk):
+                        pad = target - len(chunk)
+                        a_np = np.concatenate(
+                            [a_np, np.repeat(a_np[:1], pad, 0)])
+                        b_np = np.concatenate(
+                            [b_np, np.repeat(b_np[:1], pad, 0)])
+                    a = self._place(jnp.asarray(a_np))
+                    b = self._place(jnp.asarray(b_np))
                 out = self._dispatch(op, a, b, rk, rk_ws)
                 host = np.asarray(jax.device_get(out))
                 for slot, i in enumerate(chunk):

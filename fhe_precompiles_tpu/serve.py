@@ -241,22 +241,15 @@ class ByteServer:
         return self._run_python(requests)
 
     # ------------------------------------------------------------------
-    def _pad_bucket(self, arr: np.ndarray, seeds: Optional[list] = None):
-        """Pad a host batch to the bucketed (power-of-two) size so XLA
-        compiles one program per bucket instead of one per window length
-        (continuous serving produces arbitrary lengths).  Returns
-        (padded_arr, padded_seeds, real_count); pad rows are trimmed by
-        the callers, bytes unchanged."""
+    def _bucket(self, b: int) -> int:
+        """Bucketed (power-of-two) batch size: XLA compiles one program
+        per bucket instead of one per window length (continuous serving
+        produces arbitrary lengths).  Padding happens ON DEVICE
+        (ops/engine.pad_rows via the *_batch target_batch params), so
+        host->device transfers stay at the real batch size; pad rows are
+        trimmed by the callers, bytes unchanged."""
         from .parallel.stream import bucket_batch
-        b = arr.shape[0]
-        target = bucket_batch(b, 1, self.max_batch)
-        if target == b:
-            return arr, seeds, b
-        pad = target - b
-        arr = np.concatenate([arr, np.repeat(arr[:1], pad, axis=0)])
-        if seeds is not None:
-            seeds = list(seeds) + [seeds[0]] * pad
-        return arr, seeds, b
+        return bucket_batch(b, 1, self.max_batch)
 
     # ------------------------------------------------------------------
     def _decode_native(self, name: str, data: bytes):
@@ -421,10 +414,13 @@ class ByteServer:
                             chunk = items[c0:c0 + self.max_batch]
 
                             def do_plain(chunk=chunk, fn=fn, dev_fn=dev_fn):
-                                cts = np.stack([c for _, c, _ in chunk])
-                                ms = np.stack([m for _, _, m in chunk])
-                                cts, _, _ = self._pad_bucket(cts)
-                                ms, _, _ = self._pad_bucket(ms)
+                                import jax.numpy as jnp
+                                from .ops.engine import pad_rows
+                                t = self._bucket(len(chunk))
+                                cts = pad_rows(jnp.asarray(
+                                    np.stack([c for _, c, _ in chunk])), t)
+                                ms = pad_rows(jnp.asarray(
+                                    np.stack([m for _, _, m in chunk])), t)
                                 if fn == "plain_sub":
                                     host = np.asarray(dev_fn(ms, cts))
                                 else:
@@ -440,9 +436,9 @@ class ByteServer:
                         def do_enc(chunk=chunk):
                             plains = np.stack([m for _, m, _ in chunk])
                             seeds = [s for _, _, s in chunk]
-                            plains, seeds, _ = self._pad_bucket(plains, seeds)
                             host = np.asarray(eng.encrypt_batch(
-                                plains, app.public_key, seeds))
+                                plains, app.public_key, seeds,
+                                target_batch=self._bucket(len(chunk))))
                             for slot, (i, _m, _s) in enumerate(chunk):
                                 encode_jobs.append((i, host[slot]))
                         guarded([i for i, *_ in chunk], do_enc)
@@ -454,9 +450,9 @@ class ByteServer:
 
                         def do_dec(chunk=chunk):
                             cts = np.stack([c for _, _, c in chunk])
-                            cts, _, _ = self._pad_bucket(cts)
                             host = np.asarray(eng.decrypt_batch(
-                                cts, app.private_key))
+                                cts, app.private_key,
+                                target_batch=self._bucket(len(chunk))))
                             for slot, (i, tname, _c) in enumerate(chunk):
                                 dec_polys.append((i, tname, host[slot]))
                         guarded([i for i, *_ in chunk], do_dec)
@@ -470,9 +466,9 @@ class ByteServer:
 
                             def do_rdec(chunk=chunk, c0=c0):
                                 cts = np.stack([c for _, _, c, _ in chunk])
-                                cts, _, _ = self._pad_bucket(cts)
                                 host = np.asarray(eng.decrypt_batch(
-                                    cts, app.private_key))
+                                    cts, app.private_key,
+                                    target_batch=self._bucket(len(chunk))))
                                 for s in range(len(chunk)):
                                     polys[c0 + s] = host[s]
                             guarded([i for i, *_ in chunk], do_rdec)
@@ -506,10 +502,10 @@ class ByteServer:
                                     plains = np.stack(
                                         [m for _, m, _, _ in chunk])
                                     seeds = [s for _, _, s, _ in chunk]
-                                    plains, seeds, _ = self._pad_bucket(
-                                        plains, seeds)
                                     host = np.asarray(eng.encrypt_batch(
-                                        plains, target, seeds))
+                                        plains, target, seeds,
+                                        target_batch=self._bucket(
+                                            len(chunk))))
                                     for slot, (i, _m, _s, _p) in enumerate(
                                             chunk):
                                         encode_jobs.append((i, host[slot]))
