@@ -137,20 +137,24 @@ def test_mul_without_relin_keys_runtime_error(user_keys):
     assert FHE.call("add_cipheru64_cipheru64", data)[0] == 0
 
 
-def test_size3_ciphertext_through_add_runtime_error(user_keys):
-    """A non-relinearized (size-3) ciphertext fed to add -> 7.
+def test_size3_ciphertext_through_add_succeeds(user_keys):
+    """A non-relinearized (size-3) ciphertext fed to add -> code 0.
 
-    Documented deviation (PARITY.md): SEAL itself would zero-pad the
-    smaller operand and return a size-3 sum; this framework rejects
-    mixed-size adds.  No precompile ever *produces* a size-3 ciphertext
-    (mul always relinearizes, fhe.rs mul programs), so the case is
-    reachable only with hand-crafted blobs."""
-    pk, _sk = user_keys
+    Round 5 removed the old reject-mixed-sizes deviation: add/sub now
+    implement SEAL Evaluator's zero-extension semantics on every stack
+    (tests/test_size_semantics.py pins the byte-level matrix); mul still
+    requires size-2 operands -> 7 (second half below)."""
+    pk, sk = user_keys
     a = _ct(3, "u64", pk, b"s3a")
     b = _ct(2, "u64", pk, b"s3b")
     c3 = FHE.ctx.multiply(a, b)              # size 3, never relinearized
     data = pack.pack_binary_operation(pk, c3, _CT_CODEC, a, _CT_CODEC)
-    code, _ = FHE.call("add_cipheru64_cipheru64", data)
+    code, payload = FHE.call("add_cipheru64_cipheru64", data)
+    assert code == 0
+    out = Ciphertext.from_bytes(payload)
+    assert out.size == 3
+    # mul on a size-3 operand stays a runtime error on every stack
+    code, _ = FHE.call("mul_cipheru64_cipheru64", data)
     assert code == 7
 
 
