@@ -724,12 +724,15 @@ static std::vector<u8> build_canon_probe(const ZCanonProbe& p) {
     x ^= x << 17;
     return x;
   };
+  // the 73-byte header offset misaligns u64 stores, so values are built
+  // aligned and memcpy'd (UBSan-clean; identical bytes, LE hosts)
   if (std::strcmp(p.kind, "residue") == 0) {
     std::vector<u8> out(73 + (size_t)p.count * 8, 0);
+    std::vector<u64> v(p.count);
     u64 x = p.seed;
-    u64* v = (u64*)(out.data() + 73);
     for (u64 i = 0; i < p.count; ++i)
       v[i] = xorshift(x) & ((1ULL << 37) - 1);
+    std::memcpy(out.data() + 73, v.data(), v.size() * 8);
     return out;
   }
   if (std::strcmp(p.kind, "sparse") == 0) {
@@ -737,8 +740,8 @@ static std::vector<u8> build_canon_probe(const ZCanonProbe& p) {
     // 1.5.4-vs-1.5.7 divergence window (zstd_probes.py build_probe)
     const u64 P = 0xFFFFEE001ULL;
     std::vector<u8> out(73 + (size_t)p.count * 8, 0);
+    std::vector<u64> v(p.count);
     u64 x = p.seed;
-    u64* v = (u64*)(out.data() + 73);
     for (u64 i = 0; i < p.count; ++i) {
       u64 r = xorshift(x);
       u64 sel = r & 3;
@@ -746,6 +749,7 @@ static std::vector<u8> build_canon_probe(const ZCanonProbe& p) {
              : sel == 1 ? (P - 1) - ((r >> 2) % 39)
                         : 0;
     }
+    std::memcpy(out.data() + 73, v.data(), v.size() * 8);
     return out;
   }
   if (std::strcmp(p.kind, "struct") == 0) {
@@ -847,6 +851,15 @@ static int32_t use_libzstd(const char* path) {
       return 0;
     }
   }
+  // Sanitizer runtimes make RTLD_DEEPBIND dlopen FATAL
+  // (google/sanitizers#611), and without DEEPBIND the candidate's
+  // internal cross-calls could silently bind to the global-scope build.
+  // The swap is a perf/canonicality optimization, so under sanitizers
+  // refuse the probe (rc 1) and stay on the linked build.
+  if (dlsym(RTLD_DEFAULT, "__asan_region_is_poisoned") ||
+      dlsym(RTLD_DEFAULT, "__tsan_init") ||
+      dlsym(RTLD_DEFAULT, "__msan_init"))
+    return 1;
   // DEEPBIND: zstd's internal cross-calls to its own EXPORTED functions go
   // through the PLT; without deepbind those bind to whatever libzstd sits
   // in the process's global scope (the slow system build, dragged in

@@ -120,6 +120,24 @@ for name, data in [
 ]:
     code, _ = nat.call(name, data)
     assert code == FHE.call(name, data)[0], (name, code)
+
+# mismatched component counts: SEAL zero-extension add/sub (memcpy +
+# he_neg extras -- the raw-pointer arithmetic ASan should watch)
+import numpy as np
+from fhe_precompiles_tpu.bfv.golden import Ciphertext
+rng = np.random.default_rng(1)
+k, n = len(FHE.params.ct_moduli), FHE.params.n
+def randct(size):
+    d = np.zeros((size, k, n), dtype=np.uint64)
+    for j, p in enumerate(FHE.params.ct_moduli):
+        d[:, j] = rng.integers(0, p, size=(size, n), dtype=np.uint64)
+    return Ciphertext(FHE.params, d)
+for sa in (1, 2, 3, 5):
+    for sb in (1, 2, 3, 5):
+        data = pack.pack_binary_operation(FHE.public_key, randct(sa),
+                                          _CT_CODEC, randct(sb), _CT_CODEC)
+        for name in ("add_cipheru64_cipheru64", "sub_cipheru64_cipheru64"):
+            assert nat.call(name, data) == FHE.call(name, data), (name, sa, sb)
 print("C ABI SANITIZER DRIVE PASSED")
 PYEOF
 
