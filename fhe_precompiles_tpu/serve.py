@@ -35,6 +35,7 @@ one device-resident relin key.
 from __future__ import annotations
 
 import contextlib
+import hashlib
 import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Sequence, Tuple
@@ -252,6 +253,55 @@ class ByteServer:
         return bucket_batch(b, 1, self.max_batch)
 
     # ------------------------------------------------------------------
+    def _run_cc_pooled(self, items, pairs, pool_list, view):
+        """Pooled-fused cc execution (one device dispatch per op kind).
+
+        items: [(req_idx, op, a, b)]; pairs[j] = (pool_ia, pool_ib);
+        pool_list: distinct (2, k, n) operand arrays.  Pool size and scan
+        length are bucketed to powers of two (device-side padding) so
+        continuous windows reuse a bounded jit ladder; returns per-item
+        host (2, k, n) arrays in item order, bit-identical to the
+        unpooled path (prepared-mul equality is pinned by the engine
+        tests; the server equality by test_serve_pooled.py)."""
+        import jax.numpy as jnp
+        from .ops.engine import pad_rows
+        from .parallel.stream import bucket_batch
+        eng = self.app._engine
+        stream = self.stream
+        CB = stream.max_batch
+        pool = pad_rows(jnp.asarray(np.stack(pool_list)),
+                        bucket_batch(len(pool_list), 1, CB))
+        any_mul = any(op == "mul" for _, op, _, _ in items)
+        if any_mul:
+            rk = stream._replicate(jnp.asarray(view.relin.data))
+            rk_ws = stream._replicate(
+                jnp.asarray(eng.relin_shoup(view.relin.data)))
+        else:
+            rk = rk_ws = jnp.zeros((1,), jnp.uint64)
+        order: dict = {}
+        for j, (_i, op, _a, _b) in enumerate(items):
+            order.setdefault(op, []).append(j)
+        results: list = [None] * len(items)
+        for op, idxs in order.items():
+            M = len(idxs)
+            nc = 1
+            while nc * CB < M:
+                nc *= 2
+            Mp = nc * CB
+            ia = np.zeros(Mp, dtype=np.int64)
+            ib = np.zeros(Mp, dtype=np.int64)
+            for t, j in enumerate(idxs):
+                ia[t], ib[t] = pairs[j]
+            key = op
+            if op == "mul" and pool.shape[0] <= 2 * M:
+                key = "mul_prepared"
+            outs = np.asarray(stream._fused_ops[key](
+                pool, jnp.asarray(ia), jnp.asarray(ib), rk, rk_ws))
+            for t, j in enumerate(idxs):
+                results[j] = outs[t]
+        return results
+
+    # ------------------------------------------------------------------
     def _decode_native(self, name: str, data: bytes):
         """One request through the C++ codec: (kind, payload) routing."""
         cod = self.codec
@@ -393,16 +443,43 @@ class ByteServer:
                         fallback.extend(idxs)
 
                 try:
-                    # cipher∘cipher: one RequestStream.run per distinct pk
+                    # cipher∘cipher: one device pass per distinct pk.
+                    # Windows with operand REUSE run pooled-fused: each
+                    # distinct ciphertext transfers and (for muls)
+                    # prepares ONCE (engine._prepare: Bsk lift + forward
+                    # NTTs, ~1/3 of a multiply), requests gather from the
+                    # on-device pool -- the serving analog of the pooled
+                    # mixed-stream benchmark (+~55% device rate, and a
+                    # transfer reduction proportional to the reuse).
                     for key, items in cc_groups.items():
                         def do_cc(items=items, pk=pk_by_id[key]):
                             need_relin = any(op == "mul"
                                              for _, op, _, _ in items)
                             view = _PkView(pk.relin(cod.k, cod.kk, cod.n)
                                            if need_relin else None)
-                            reqs = [Request(op, a, b)
-                                    for _, op, a, b in items]
-                            outs = self.stream.run(reqs, view)
+                            pool_list: list = []
+                            pool_idx: dict = {}
+                            pairs = []
+                            for _i, _op, a, b in items:
+                                pr = []
+                                for operand in (a, b):
+                                    h = hashlib.blake2b(
+                                        operand.tobytes(),
+                                        digest_size=16).digest()
+                                    slot = pool_idx.get(h)
+                                    if slot is None:
+                                        slot = len(pool_list)
+                                        pool_idx[h] = slot
+                                        pool_list.append(operand)
+                                    pr.append(slot)
+                                pairs.append(pr)
+                            if len(pool_list) < 2 * len(items):
+                                outs = self._run_cc_pooled(
+                                    items, pairs, pool_list, view)
+                            else:  # no reuse: plain batched path
+                                reqs = [Request(op, a, b)
+                                        for _, op, a, b in items]
+                                outs = self.stream.run(reqs, view)
                             for (i, _op, _a, _b), out in zip(items, outs):
                                 encode_jobs.append((i, out))
                         guarded([i for i, *_ in items], do_cc)
