@@ -79,6 +79,9 @@ _SMOKE_PATTERNS = [
     # device-phase fault isolation + queue-fed continuous serving
     "test_serve_faults.py::test_stream_run_failure_degrades_to_fallback",
     "test_serve_faults.py::test_continuous_mode_matches_fheapp_call",
+    # pooled byte-serving (operand dedup + prepared-mul fused path)
+    "test_serve_pooled.py::test_pooled_path_engages_and_matches",
+    "test_serve_pooled.py::test_adversarial_cts_through_server",
     # runtime zstd dispatch: consensus-byte pins across library swaps
     "test_zstd_dispatch.py",
     # consensus-canonical zstd frames (the r5 attacker-steered split fix)

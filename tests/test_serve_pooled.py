@@ -109,6 +109,39 @@ def test_pooled_squaring_requests(setup):
     assert all(r == want for r in got)
 
 
+def test_adversarial_cts_through_server(setup):
+    """Boundary (c1=0) and garbage ciphertexts through the SERVER's
+    batched decrypt/reencrypt/add paths: bytes must equal FheApp.call
+    exactly (the server rides the same exact-CRT decrypt; pin it at this
+    surface too)."""
+    app, server = setup
+    P = FHE.params
+    k, n = len(P.ct_moduli), P.n
+    from fhe_precompiles_tpu.bfv.golden import Ciphertext
+    q, t = P.q, P.t
+    reqs = []
+    for m in (0, 1, t - 1):
+        x = (m * q - q // 2) // t % q
+        data = np.zeros((2, k, n), dtype=np.uint64)
+        for j, p in enumerate(P.ct_moduli):
+            data[0, j, 0] = x % p
+        blob = Ciphertext(P, data).to_bytes()
+        reqs.append(("decrypt_i64", pack.pack_one_argument(blob, pack.BYTES)))
+        reqs.append(("decrypt_frac64",
+                     pack.pack_one_argument(blob, pack.BYTES)))
+        reqs.append(("reencrypt_i64", pack.pack_binary_operation(
+            FHE.public_key, Ciphertext.from_bytes(blob), _CT_CODEC,
+            b"\x01", pack.BYTES)))
+        # and through the pooled add path (steered garbage operands)
+        other = _ct(3, b"adv%d" % m)
+        reqs.append(("add_cipheri64_cipheri64", pack.pack_binary_operation(
+            FHE.public_key, Ciphertext.from_bytes(blob), _CT_CODEC,
+            other, _CT_CODEC)))
+    got = server.run(reqs)
+    for (name, data), res in zip(reqs, got):
+        assert res == app.call(name, data), name
+
+
 def test_pooled_continuous_mode(setup):
     app, server = setup
     reqs = _reuse_stream(30, 3, seed=21)
