@@ -82,6 +82,8 @@ _SMOKE_PATTERNS = [
     # pooled byte-serving (operand dedup + prepared-mul fused path)
     "test_serve_pooled.py::test_pooled_path_engages_and_matches",
     "test_serve_pooled.py::test_adversarial_cts_through_server",
+    # future-testnet preset byte consensus (k=3 multiword decrypt limbs)
+    "test_testnet_two_app.py::test_boundary_dots_byte_consensus_at_k3",
     # runtime zstd dispatch: consensus-byte pins across library swaps
     "test_zstd_dispatch.py",
     # consensus-canonical zstd frames (the r5 attacker-steered split fix)

@@ -62,6 +62,22 @@ class MetricsRegistry:
         with self._lock:
             self._stats[op].bytes_out += nbytes
 
+    def record_batch(self, op: str, count: int, seconds: float = 0.0,
+                     bytes_in: int = 0, bytes_out: int = 0,
+                     errors: int = 0) -> None:
+        """Bulk accounting for batched execution paths (ByteServer):
+        `seconds` is the wall time attributed to this op's share of the
+        batch, so ops_per_sec stays meaningful across surfaces."""
+        if not self.enabled:
+            return
+        with self._lock:
+            s = self._stats[op]
+            s.count += count
+            s.errors += errors
+            s.total_seconds += seconds
+            s.bytes_in += bytes_in
+            s.bytes_out += bytes_out
+
     def snapshot(self) -> Dict[str, OpStats]:
         with self._lock:
             return {k: dataclasses.replace(v) for k, v in self._stats.items()}

@@ -236,10 +236,30 @@ class ByteServer:
     def run(self, requests: Sequence[Tuple[str, bytes]]
             ) -> List[Tuple[int, bytes]]:
         """Execute a mixed byte-request stream; returns per-request
-        (error_code, payload) in input order, byte-equal to FheApp.call."""
-        if self.codec is not None:
-            return self._run_native(requests)
-        return self._run_python(requests)
+        (error_code, payload) in input order, byte-equal to FheApp.call.
+
+        With ``metrics.enable()``, per-op counters/bytes/errors are
+        recorded (batch wall time attributed per op share) plus pooled-
+        window stats under ``byteserver.pool*`` keys."""
+        from . import metrics
+        if not metrics.GLOBAL.enabled:
+            if self.codec is not None:
+                return self._run_native(requests)
+            return self._run_python(requests)
+        import time as _time
+        t0 = _time.perf_counter()
+        results = (self._run_native(requests) if self.codec is not None
+                   else self._run_python(requests))
+        dt = _time.perf_counter() - t0
+        per_op: dict = {}
+        for (name, data), (code, payload) in zip(requests, results):
+            c, e, bi, bo = per_op.get(name, (0, 0, 0, 0))
+            per_op[name] = (c + 1, e + (1 if code else 0),
+                            bi + len(data), bo + len(payload))
+        total = max(1, len(requests))
+        for name, (c, e, bi, bo) in per_op.items():
+            metrics.GLOBAL.record_batch(name, c, dt * c / total, bi, bo, e)
+        return results
 
     # ------------------------------------------------------------------
     def _bucket(self, b: int) -> int:
@@ -474,6 +494,14 @@ class ByteServer:
                                     pr.append(slot)
                                 pairs.append(pr)
                             if len(pool_list) < 2 * len(items):
+                                from . import metrics
+                                metrics.GLOBAL.record_batch(
+                                    "byteserver.pooled_windows", 1)
+                                metrics.GLOBAL.record_batch(
+                                    "byteserver.pool_requests", len(items))
+                                metrics.GLOBAL.record_batch(
+                                    "byteserver.pool_distinct",
+                                    len(pool_list))
                                 outs = self._run_cc_pooled(
                                     items, pairs, pool_list, view)
                             else:  # no reuse: plain batched path

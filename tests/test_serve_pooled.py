@@ -153,3 +153,46 @@ def test_pooled_continuous_mode(setup):
         server.stop_continuous()
     for (name, data), res in zip(reqs, got):
         assert res == app.call(name, data), name
+
+
+def test_concurrent_submitters(setup):
+    """submit() from many threads: thread-safe queueing, every future
+    resolves to the per-request bytes."""
+    import concurrent.futures
+    app, server = setup
+    reqs = _reuse_stream(32, 3, seed=33)
+    want = [app.call(name, data) for name, data in reqs]
+    server.start_continuous(flush_ms=5.0)
+    try:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            futs = list(ex.map(
+                lambda nd: server.submit(*nd).result(timeout=300), reqs))
+    finally:
+        server.stop_continuous()
+    assert futs == want
+
+
+def test_serving_metrics(setup):
+    from fhe_precompiles_tpu import metrics
+    app, server = setup
+    reqs = _reuse_stream(20, 3, seed=40)
+    reqs.append(("mul_cipheru64_cipheru64", b"\x00"))  # error request
+    metrics.GLOBAL.reset()
+    metrics.enable()
+    try:
+        server.run(reqs)
+        snap = metrics.GLOBAL.snapshot()
+    finally:
+        metrics.disable()
+        metrics.GLOBAL.reset()
+    total = sum(s.count for op, s in snap.items()
+                if op.endswith("cipheru64_cipheru64"))
+    assert total == len(reqs)
+    errs = sum(s.errors for s in snap.values())
+    assert errs == 1
+    assert snap["byteserver.pooled_windows"].count >= 1
+    assert (snap["byteserver.pool_distinct"].count
+            < snap["byteserver.pool_requests"].count)
+    # wall time attributed: ops_per_sec computable
+    any_op = next(op for op in snap if op.endswith("cipheru64_cipheru64"))
+    assert snap[any_op].ops_per_sec > 0
