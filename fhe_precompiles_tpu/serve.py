@@ -277,48 +277,52 @@ class ByteServer:
         """Pooled-fused cc execution (one device dispatch per op kind).
 
         items: [(req_idx, op, a, b)]; pairs[j] = (pool_ia, pool_ib);
-        pool_list: distinct (2, k, n) operand arrays.  Pool size and scan
-        length are bucketed to powers of two (device-side padding) so
-        continuous windows reuse a bounded jit ladder; returns per-item
-        host (2, k, n) arrays in item order, bit-identical to the
-        unpooled path (prepared-mul equality is pinned by the engine
+        pool_list: distinct (2, k, n) operand arrays.  Pool size and each
+        dispatch's batch are bucketed to powers of two (device-side
+        padding) so continuous windows reuse a bounded jit ladder --
+        deliberately NOT the fixed-chunk fused-scan path
+        (stream._fused_ops), which pads every window up to max_batch and
+        wastes up to CBx device work on small continuous windows
+        (measured: dev-host saturation 160 -> ~100 reqs/s).  Returns
+        per-item host (2, k, n) arrays in item order, bit-identical to
+        the unpooled path (prepared-mul equality is pinned by the engine
         tests; the server equality by test_serve_pooled.py)."""
         import jax.numpy as jnp
         from .ops.engine import pad_rows
         from .parallel.stream import bucket_batch
         eng = self.app._engine
-        stream = self.stream
-        CB = stream.max_batch
-        pool = pad_rows(jnp.asarray(np.stack(pool_list)),
-                        bucket_batch(len(pool_list), 1, CB))
-        any_mul = any(op == "mul" for _, op, _, _ in items)
-        if any_mul:
-            rk = stream._replicate(jnp.asarray(view.relin.data))
-            rk_ws = stream._replicate(
-                jnp.asarray(eng.relin_shoup(view.relin.data)))
-        else:
-            rk = rk_ws = jnp.zeros((1,), jnp.uint64)
+        CB = self.stream.max_batch
+        pool_raw = pad_rows(jnp.asarray(np.stack(pool_list)),
+                            bucket_batch(len(pool_list), 1, CB))
         order: dict = {}
         for j, (_i, op, _a, _b) in enumerate(items):
             order.setdefault(op, []).append(j)
+        pool_prep = rk = rk_ws = None
+        if "mul" in order:
+            rk = jnp.asarray(view.relin.data)
+            rk_ws = jnp.asarray(eng.relin_shoup(view.relin.data))
+            # operand-independent BEHZ half ONCE per pooled ciphertext
+            pool_prep = eng._prepare(pool_raw)
         results: list = [None] * len(items)
         for op, idxs in order.items():
-            M = len(idxs)
-            nc = 1
-            while nc * CB < M:
-                nc *= 2
-            Mp = nc * CB
-            ia = np.zeros(Mp, dtype=np.int64)
-            ib = np.zeros(Mp, dtype=np.int64)
-            for t, j in enumerate(idxs):
-                ia[t], ib[t] = pairs[j]
-            key = op
-            if op == "mul" and pool.shape[0] <= 2 * M:
-                key = "mul_prepared"
-            outs = np.asarray(stream._fused_ops[key](
-                pool, jnp.asarray(ia), jnp.asarray(ib), rk, rk_ws))
-            for t, j in enumerate(idxs):
-                results[j] = outs[t]
+            for c0 in range(0, len(idxs), CB):
+                chunk = idxs[c0:c0 + CB]
+                t = bucket_batch(len(chunk), 1, CB)
+                ia = np.zeros(t, dtype=np.int64)
+                ib = np.zeros(t, dtype=np.int64)
+                for s, j in enumerate(chunk):
+                    ia[s], ib[s] = pairs[j]
+                if op == "mul":
+                    a = jnp.take(pool_prep, jnp.asarray(ia), axis=0)
+                    b = jnp.take(pool_prep, jnp.asarray(ib), axis=0)
+                    out = eng._mul_relin_prepared(a, b, rk, rk_ws)
+                else:
+                    a = jnp.take(pool_raw, jnp.asarray(ia), axis=0)
+                    b = jnp.take(pool_raw, jnp.asarray(ib), axis=0)
+                    out = eng._add(a, b) if op == "add" else eng._sub(a, b)
+                host = np.asarray(out)
+                for s, j in enumerate(chunk):
+                    results[j] = host[s]
         return results
 
     # ------------------------------------------------------------------
