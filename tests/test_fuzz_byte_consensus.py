@@ -132,6 +132,59 @@ def test_random_bytes_three_stacks(jax_app, native):
             _three_way(jax_app, native, name, data, f"random[{size}]")
 
 
+def test_framing_variants_three_stacks(jax_app, native):
+    """Wire framing edge cases accepted by the parser must behave
+    identically everywhere: an UNCOMPRESSED (compr=0) inner SEAL stream,
+    and mutated scale/correction header fields (BFV ignores them; outputs
+    are rebuilt with canonical defaults on every stack)."""
+    import struct
+    from fhe_precompiles_tpu.serialization import keyio
+    from fhe_precompiles_tpu.serialization.bincode import Reader, Writer
+    from fhe_precompiles_tpu.serialization.seal import (SealCiphertextBlob,
+                                                        wrap_stream)
+    ct = FHE.ctx.encrypt(PLAIN_TYPES["u64"].encode(21, P), FHE.public_key,
+                         hashlib.sha512(b"fv").digest())
+    r = Reader(ct.to_bytes())
+    params = keyio.read_params(r)
+    r.u64()
+    sb = SealCiphertextBlob.from_stream(r.byte_vec())
+
+    # uncompressed inner stream
+    w = Writer()
+    keyio.write_params(w, params)
+    w.u64(1)
+    w.byte_vec(sb.to_stream(compress=False))
+    blob_nc = w.getvalue()
+    _three_way(jax_app, native, "decrypt_u64",
+               pack.pack_one_argument(blob_nc, pack.BYTES), "COMPR_NONE ct")
+
+    # scale/correction mutated (layout: parms_id 32 | is_ntt 1 | size 8 |
+    # n 8 | k 8 | scale f64 | corr 8)
+    members = bytearray(sb.members())
+    struct.pack_into("<d", members, 57, 3.75)
+    struct.pack_into("<Q", members, 65, 9)
+    w = Writer()
+    keyio.write_params(w, params)
+    w.u64(1)
+    w.byte_vec(wrap_stream(bytes(members)))
+    blob_sc = w.getvalue()
+    _three_way(jax_app, native, "decrypt_u64",
+               pack.pack_one_argument(blob_sc, pack.BYTES),
+               "scale/corr mutated ct")
+    # raw-spliced into binary-op calldata (no canonical re-serialization)
+    ct2 = FHE.ctx.encrypt(PLAIN_TYPES["u64"].encode(2, P), FHE.public_key,
+                          hashlib.sha512(b"fv2").digest())
+    pk_bytes = FHE.public_key_bytes()
+    b_bytes = ct2.to_bytes()
+    off1 = 8 + len(pk_bytes)
+    off2 = off1 + len(blob_sc)
+    calldata = (struct.pack(">II", off1, off2) + pk_bytes + blob_sc
+                + b_bytes)
+    code, _ = _three_way(jax_app, native, "add_cipheru64_cipheru64",
+                         calldata, "raw-spliced scale-mutated add")
+    assert code == 0
+
+
 def test_noise_exhaustion_chain_three_stacks(jax_app, native):
     """Squaring chain through and PAST noise exhaustion: every intermediate
     ciphertext and decrypt output must stay byte-identical on all three
