@@ -481,6 +481,10 @@ class ByteServer:
                                              for _, op, _, _ in items)
                             view = _PkView(pk.relin(cod.k, cod.kk, cod.n)
                                            if need_relin else None)
+                            # dedup by digest + EXACT bytes (the same
+                            # collision-proof standard as the pk caches:
+                            # a digest collision must never compute with
+                            # the wrong operand)
                             pool_list: list = []
                             pool_idx: dict = {}
                             pairs = []
@@ -491,6 +495,10 @@ class ByteServer:
                                         operand.tobytes(),
                                         digest_size=16).digest()
                                     slot = pool_idx.get(h)
+                                    if slot is not None and not \
+                                            np.array_equal(
+                                                pool_list[slot], operand):
+                                        slot = None  # collision: new entry
                                     if slot is None:
                                         slot = len(pool_list)
                                         pool_idx[h] = slot
