@@ -503,7 +503,17 @@ def main():
             " of a multiply) once per pooled ciphertext"
             " (JaxEngine._prepare / _mul_relin_prepared) instead of once"
             " per request -- worth ~+55% on the mixed stream; outputs"
-            " bit-identical.\n"
+            " bit-identical.\n\n"
+            "Round 5 wires this into the BYTE surface: ByteServer dedups"
+            " each cc window's operands by content digest (+ exact-byte"
+            " verification on digest hits) and runs the pooled"
+            " prepared-mul path with bucketed direct dispatch"
+            " (serve.py _run_cc_pooled; tests/test_serve_pooled.py pins"
+            " byte-equality).  Each distinct ciphertext transfers once"
+            " AND prepares once -- on the tunnel-bound dev setup this"
+            " lifted the e2e mul row ~25 -> ~155 ops/s, and on a"
+            " co-located host it raises the device-side ceiling toward"
+            " the pooled 10k-stream rate.\n"
             "\n## Serving: byte-surface decomposition\n\n"
             "The byte_server_* / byte_codec_* rows decompose the product"
             " surface (calldata in -> calldata out, c_fhe.rs:8-59):"
